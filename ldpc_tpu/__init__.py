@@ -1,0 +1,46 @@
+"""ldpc_tpu — TPU-native neural LDPC decoding framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of the reference
+PyTorch implementation of "LDPC Decoding with Degree-Specific Neural Message
+Weights and RCQ Decoding" (arXiv:2310.15483): degree-specific weight sharing
+(N-NMS / N-OMS / N-2D types 1-4), reconstruction-computation-quantization
+(RCQ / W-RCQ) decoding, posterior joint training, and Monte-Carlo FER/BER
+evaluation — batched, jitted, and mesh-shardable.
+"""
+
+from ldpc_tpu.codes import (
+    DecoderGraph,
+    LDPCCode,
+    build_graph,
+    create_dvbs2_like_code,
+    create_pbrl_like_code,
+    create_peg_code,
+    create_qc_code,
+    create_random_regular_code,
+    create_test_ldpc_code,
+    load_alist,
+    save_alist,
+)
+from ldpc_tpu.channel import awgn_llr, bpsk_modulate, simulate_awgn_channel
+from ldpc_tpu.quantizer import (
+    NonUniformQuantizer,
+    phase_schedule,
+    power_thresholds,
+    quantize_dequantize,
+)
+from ldpc_tpu.decode import (
+    DecodeResult,
+    Decoder,
+    basic_min_sum,
+    decode_batch,
+    make_decoder,
+    neural_2d_min_sum,
+    neural_2d_offset_min_sum,
+    neural_min_sum,
+    neural_offset_min_sum,
+    param_count,
+    rcq_min_sum,
+    weighted_rcq,
+)
+
+__version__ = "0.1.0"

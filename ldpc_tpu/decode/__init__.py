@@ -1,0 +1,19 @@
+from ldpc_tpu.decode.engine import (
+    DecodeResult,
+    VariantSpec,
+    decode_batch,
+    decode_batch_layered,
+    make_layers,
+)
+from ldpc_tpu.decode.variants import (
+    Decoder,
+    basic_min_sum,
+    make_decoder,
+    neural_2d_min_sum,
+    neural_2d_offset_min_sum,
+    neural_min_sum,
+    neural_offset_min_sum,
+    param_count,
+    rcq_min_sum,
+    weighted_rcq,
+)

@@ -1,0 +1,324 @@
+"""Decoder variant registry: wiring + weight initialization + param counts.
+
+Replaces the reference's seven near-duplicate decoder classes
+(``ldpc_decoder.py``, ``neural_minsum_decoder.py``, ``neural_2d_decoder.py``,
+``rcq_decoder.py``) with one spec builder over the shared engine.
+
+Weight-sharing types (paper Table I; reference ``neural_2d_decoder.py:46-131``):
+
+====  =======================================  =========================
+type  beta (CN weight) keyed by                alpha (VN weight) keyed by
+====  =======================================  =========================
+0     every edge (N-NMS / N-OMS)               — (1.0 / 0.0)
+1     (deg(c), deg(v)) pair, full cartesian    — fixed
+2     deg(c)                                   deg(v)
+3     deg(c)                                   — fixed
+4     — fixed (0.7 NMS / 0.0 OMS)              deg(v)
+====  =======================================  =========================
+
+Bucket universes for type 1 are the full cartesian product of unique degrees
+(present or not), matching the reference's parameter counts exactly
+(goldens: 130/40/40/20/20 params for N-NMS / types 1-4 on the (7,4) code at
+10 iterations, ``IMPLEMENTATION_SUMMARY.md:165-172``).
+
+Initialization matches the reference:
+- N-NMS: ``0.7 + 0.1*randn`` (``neural_minsum_decoder.py:53``)
+- N-OMS beta, all 2D types, W-RCQ: ``0.1*randn``
+  (``neural_minsum_decoder.py``, ``neural_2d_decoder.py:54-79``,
+  ``rcq_decoder.py:398-431``)
+``init='nms'`` additionally offsets shared betas by +0.7 / alphas by +1.0 so
+an *untrained* decoder behaves like normalized min-sum (the reference's
+near-zero init makes untrained 2D decoders emit near-zero messages —
+SURVEY §2a note).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ldpc_tpu.codes import DecoderGraph, LDPCCode, build_graph
+from ldpc_tpu.decode.engine import (
+    DecodeResult,
+    VariantSpec,
+    decode_batch,
+    decode_batch_layered,
+    make_layers,
+)
+from ldpc_tpu.quantizer import stack_quantizer_thresholds
+
+__all__ = [
+    "Decoder",
+    "make_decoder",
+    "basic_min_sum",
+    "neural_min_sum",
+    "neural_offset_min_sum",
+    "neural_2d_min_sum",
+    "neural_2d_offset_min_sum",
+    "rcq_min_sum",
+    "weighted_rcq",
+    "param_count",
+]
+
+
+def _bucket_wiring(graph: DecoderGraph, sharing_type: int, offset_style: bool):
+    """Return (beta_idx, n_beta, alpha_idx, n_alpha, fixed_beta, fixed_alpha,
+    alpha_in_cn) for a sharing type."""
+    n_dc = len(graph.unique_dc)
+    n_dv = len(graph.unique_dv)
+    fixed_beta = 0.0 if offset_style else 0.7
+    fixed_alpha = 0.0 if offset_style else 1.0
+    if sharing_type == 0:
+        E = graph.num_edges
+        return (np.arange(E, dtype=np.int32), E, None, 0,
+                fixed_beta, fixed_alpha, offset_style)
+    if sharing_type == 1:
+        return (graph.edge_dcdv_bucket, n_dc * n_dv, None, 0,
+                fixed_beta, fixed_alpha, offset_style)
+    if sharing_type == 2:
+        return (graph.edge_dc_bucket, n_dc, graph.edge_dv_bucket, n_dv,
+                fixed_beta, fixed_alpha, offset_style)
+    if sharing_type == 3:
+        return (graph.edge_dc_bucket, n_dc, None, 0,
+                fixed_beta, fixed_alpha, offset_style)
+    if sharing_type == 4:
+        return (None, 0, graph.edge_dv_bucket, n_dv,
+                fixed_beta, fixed_alpha, offset_style)
+    raise ValueError(f"Invalid weight sharing type: {sharing_type}")
+
+
+@dataclasses.dataclass(eq=False)
+class Decoder:
+    """A configured decoder: static spec + trainable weights + call surface.
+
+    Return contract matches the reference's ``forward``
+    (``neural_2d_decoder.py:133-225``): hard bits, posterior, iterations-used,
+    plus an explicit per-frame ``success`` flag (the plain decoders' second
+    return, ``ldpc_decoder.py:63``).
+    """
+
+    name: str
+    code: LDPCCode
+    graph: DecoderGraph
+    spec: VariantSpec
+    max_iterations: int
+    weights: Dict[str, Optional[jnp.ndarray]]
+    layered: bool = False
+    layer_checks: Optional[np.ndarray] = None
+
+    def __call__(self, llr: jnp.ndarray, weights=None, *, ste: bool = False,
+                 return_trajectory: bool = False) -> DecodeResult:
+        """Decode ``llr`` of shape [B, n] (or [n] — auto-promoted)."""
+        w = self.weights if weights is None else weights
+        squeeze = llr.ndim == 1
+        if squeeze:
+            llr = llr[None, :]
+        if self.layered:
+            out = decode_batch_layered(
+                llr, w, self.layer_checks, graph=self.graph, spec=self.spec,
+                max_iterations=self.max_iterations, ste=ste)
+        else:
+            out = decode_batch(
+                llr, w, graph=self.graph, spec=self.spec,
+                max_iterations=self.max_iterations, ste=ste,
+                return_trajectory=return_trajectory)
+        if squeeze:
+            out = DecodeResult(
+                bits=out.bits[0], posterior=out.posterior[0],
+                iterations=out.iterations[0], success=out.success[0],
+                posteriors_all=(out.posteriors_all[:, 0]
+                                if out.posteriors_all is not None else None))
+        return out
+
+    def decode(self, llr: jnp.ndarray):
+        """Plain-decoder calling convention (``ldpc_decoder.py:63``):
+        returns (bits, success, iterations)."""
+        r = self(llr)
+        return r.bits, r.success, r.iterations
+
+    def param_count(self) -> int:
+        return param_count(self.weights)
+
+    def replace_weights(self, weights) -> "Decoder":
+        return dataclasses.replace(self, weights=weights)
+
+
+def param_count(weights) -> int:
+    return int(sum(np.prod(w.shape) for w in jax.tree_util.tree_leaves(weights)))
+
+
+def _init_weights(
+    key: jax.Array,
+    T: int,
+    n_beta: int,
+    n_alpha: int,
+    *,
+    beta_mean: float,
+    alpha_mean: float,
+    std: float = 0.1,
+) -> Dict[str, Optional[jnp.ndarray]]:
+    kb, ka = jax.random.split(key)
+    w: Dict[str, Optional[jnp.ndarray]] = {"beta": None, "alpha": None}
+    if n_beta:
+        w["beta"] = beta_mean + std * jax.random.normal(kb, (T, n_beta))
+    if n_alpha:
+        w["alpha"] = alpha_mean + std * jax.random.normal(ka, (T, n_alpha))
+    return w
+
+
+def make_decoder(
+    code: LDPCCode,
+    *,
+    kind: str = "nms",
+    sharing_type: Optional[int] = None,
+    factor: float = 0.7,
+    max_iterations: Optional[int] = None,
+    bc: int = 3,
+    bv: Optional[int] = None,
+    quantizer_params: Sequence[Tuple[float, float]] = ((5.0, 1.3),),
+    v2c_quantizer_params: Optional[Sequence[Tuple[float, float]]] = None,
+    layered: bool = False,
+    num_layers: Optional[int] = None,
+    init: str = "reference",
+    seed: int = 0,
+    name: Optional[str] = None,
+    graph: Optional[DecoderGraph] = None,
+) -> Decoder:
+    """Build any decoder variant.
+
+    kind: 'ms' (fixed factor) | 'nms' | 'oms' | 'rcq' | 'wrcq'.
+    sharing_type: None/0 = per-edge (types 0); 1-4 = degree sharing.
+    init: 'reference' reproduces the reference's initializers;
+          'nms' centers shared weights at NMS-equivalent values.
+    bv: if given (with v2c_quantizer_params or reusing quantizer_params),
+        actually quantizes V2C messages and posteriors to bv bits — the
+        capability the reference's ``bv`` knob pretends to have (SURVEY §8.5).
+    """
+    if kind not in ("ms", "nms", "oms", "rcq", "wrcq"):
+        raise ValueError(
+            f"unknown decoder kind {kind!r}; expected one of "
+            "'ms', 'nms', 'oms', 'rcq', 'wrcq'")
+    graph = graph if graph is not None else build_graph(code)
+    T = max_iterations if max_iterations is not None else code.max_iterations
+    key = jax.random.PRNGKey(seed)
+
+    offset_style = kind == "oms"
+    thresholds = None
+    v2c_thresholds = None
+    if kind in ("rcq", "wrcq"):
+        thresholds = stack_quantizer_thresholds(bc, quantizer_params, T)
+    if bv is not None and kind in ("rcq", "wrcq"):
+        vparams = (v2c_quantizer_params if v2c_quantizer_params is not None
+                   else [(C * 2.0, g) for C, g in quantizer_params])
+        v2c_thresholds = stack_quantizer_thresholds(bv, vparams, T)
+
+    if kind == "ms":
+        spec = VariantSpec(kind="nms", fixed_beta=factor, fixed_alpha=1.0)
+        weights: Dict[str, Optional[jnp.ndarray]] = {"beta": None, "alpha": None}
+        dname = name or f"MS(factor={factor})"
+    elif kind == "rcq" and (sharing_type is None or sharing_type == 0):
+        spec = VariantSpec(kind="rcq", fixed_beta=1.0, fixed_alpha=1.0,
+                           thresholds=thresholds, v2c_thresholds=v2c_thresholds)
+        weights = {"beta": None, "alpha": None}
+        dname = name or f"RCQ(bc={bc})"
+    else:
+        st = 0 if sharing_type is None else sharing_type
+        (beta_idx, n_beta, alpha_idx, n_alpha,
+         fixed_beta, fixed_alpha, alpha_in_cn) = _bucket_wiring(
+            graph, st, offset_style)
+        engine_kind = {"nms": "nms", "oms": "oms", "wrcq": "wrcq"}[kind]
+        spec = VariantSpec(
+            kind=engine_kind,
+            beta_idx=beta_idx,
+            alpha_idx=alpha_idx,
+            fixed_beta=fixed_beta,
+            fixed_alpha=fixed_alpha,
+            n_beta=n_beta,
+            n_alpha=n_alpha,
+            alpha_in_cn=offset_style,
+            thresholds=thresholds,
+            v2c_thresholds=v2c_thresholds,
+        )
+        if init == "reference":
+            if kind == "nms" and st == 0:
+                beta_mean, alpha_mean = 0.7, 1.0  # neural_minsum_decoder.py:53
+            else:
+                beta_mean, alpha_mean = 0.0, 0.0  # 0.1*randn everywhere else
+        elif init == "nms":
+            beta_mean = 0.0 if offset_style else 0.7
+            alpha_mean = 0.0 if offset_style else 1.0
+        else:
+            raise ValueError(f"unknown init {init!r}")
+        weights = _init_weights(key, T, n_beta, n_alpha,
+                                beta_mean=beta_mean, alpha_mean=alpha_mean)
+        base = {"nms": "N-NMS" if st == 0 else f"N-2D-NMS(t{st})",
+                "oms": "N-OMS" if st == 0 else f"N-2D-OMS(t{st})",
+                "wrcq": f"W-RCQ(t{st},bc={bc})"}[kind]
+        dname = name or base
+
+    layer_checks = make_layers(graph, num_layers) if layered else None
+    return Decoder(
+        name=dname, code=code, graph=graph, spec=spec, max_iterations=T,
+        weights=weights, layered=layered, layer_checks=layer_checks)
+
+
+# -- reference-parity constructors -----------------------------------------
+
+
+def basic_min_sum(code, factor: float = 0.7, max_iterations=None, **kw):
+    """Fixed-factor normalized min-sum (``ldpc_decoder.py:56-153``)."""
+    return make_decoder(code, kind="ms", factor=factor,
+                        max_iterations=max_iterations, **kw)
+
+
+def neural_min_sum(code, max_iterations=None, seed=0, **kw):
+    """N-NMS: one weight per (iteration, edge)
+    (``neural_minsum_decoder.py:19-150``)."""
+    return make_decoder(code, kind="nms", sharing_type=0,
+                        max_iterations=max_iterations, seed=seed, **kw)
+
+
+def neural_offset_min_sum(code, max_iterations=None, seed=0, **kw):
+    """N-OMS: per-edge offsets, c2v = sign * relu(mag - beta)
+    (``neural_minsum_decoder.py:152-286``)."""
+    return make_decoder(code, kind="oms", sharing_type=0,
+                        max_iterations=max_iterations, seed=seed, **kw)
+
+
+def neural_2d_min_sum(code, weight_sharing_type: int = 2, max_iterations=None,
+                      seed=0, **kw):
+    """N-2D-NMS types 1-4 (``neural_2d_decoder.py:16-225``)."""
+    return make_decoder(code, kind="nms", sharing_type=weight_sharing_type,
+                        max_iterations=max_iterations, seed=seed, **kw)
+
+
+def neural_2d_offset_min_sum(code, weight_sharing_type: int = 2,
+                             max_iterations=None, seed=0, **kw):
+    """N-2D-OMS types 1-4 (``neural_2d_decoder.py:227-434``)."""
+    return make_decoder(code, kind="oms", sharing_type=weight_sharing_type,
+                        max_iterations=max_iterations, seed=seed, **kw)
+
+
+def rcq_min_sum(code, bc: int = 3, bv: Optional[int] = None,
+                quantizer_params=((3.0, 1.3), (5.0, 1.3), (7.0, 1.3)),
+                max_iterations=None, layered: bool = False, **kw):
+    """RCQ min-sum (``rcq_decoder.py:123-350``); ``bv`` actually works here."""
+    return make_decoder(code, kind="rcq", bc=bc, bv=bv,
+                        quantizer_params=quantizer_params,
+                        max_iterations=max_iterations, layered=layered, **kw)
+
+
+def weighted_rcq(code, bc: int = 3, bv: Optional[int] = None,
+                 quantizer_params=((3.0, 1.3), (5.0, 1.3), (7.0, 1.3)),
+                 weight_sharing_type: int = 2, max_iterations=None,
+                 layered: bool = False, seed=0, **kw):
+    """W-RCQ: degree-shared weights + RCQ (``rcq_decoder.py:352-597``)."""
+    return make_decoder(code, kind="wrcq", bc=bc, bv=bv,
+                        quantizer_params=quantizer_params,
+                        sharing_type=weight_sharing_type,
+                        max_iterations=max_iterations, layered=layered,
+                        seed=seed, **kw)

@@ -1,0 +1,166 @@
+"""Non-uniform (RCQ) quantization as vectorized LUT ops.
+
+Semantics match the reference ``NonUniformQuantizer`` exactly
+(``rcq_decoder.py:22-121``):
+
+- thresholds ``tau_j = C * (j / (2^(bc-1) - 1))^gamma`` for
+  ``j = 0 .. 2^(bc-1)-1`` (so ``tau_0 = 0``, ``tau_max = C``);
+- quantize: magnitude index = largest ``j`` with ``|x| >= tau_j``
+  (inclusive compare), packed sign-magnitude as
+  ``code = (x < 0) * 2^(bc-1) + idx``;
+- dequantize: value = ``(1 - 2*sign_bit) * tau_idx`` — reconstruction *to the
+  threshold itself*, not a midpoint.
+
+Implemented as a branch-free compare-count (equivalent to
+``searchsorted(..., side='right') - 1``) so it fuses into the surrounding
+decode kernel, plus a straight-through-estimator wrapper for training
+(the reference never solved STE — its RCQ path is inference-only and its
+trainer is broken, SURVEY §7 "hard parts").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "NonUniformQuantizer",
+    "power_thresholds",
+    "quantize",
+    "dequantize",
+    "quantize_dequantize",
+    "qdq_ste",
+    "phase_schedule",
+    "stack_quantizer_thresholds",
+]
+
+
+def power_thresholds(bc: int, C: float, gamma: float) -> np.ndarray:
+    """tau_j = C * (j / (2^(bc-1)-1))^gamma, j = 0..2^(bc-1)-1
+    (reference ``rcq_decoder.py:48-57``)."""
+    max_idx = 2 ** (bc - 1) - 1
+    j = np.arange(max_idx + 1, dtype=np.float64)
+    return (C * (j / max_idx) ** gamma).astype(np.float32)
+
+
+def quantize(x: jnp.ndarray, thresholds: jnp.ndarray) -> jnp.ndarray:
+    """Sign-magnitude quantize against a threshold LUT.
+
+    ``thresholds`` has shape [..., L] broadcastable against ``x[..., None]``
+    (L = 2^(bc-1)); returns int32 codes in [0, 2^bc).
+    Matches reference ``rcq_decoder.py:59-91`` (>= compare, first-threshold 0).
+    """
+    mag = jnp.abs(x)
+    # count thresholds <= mag, minus one == largest index with tau_j <= mag
+    idx = jnp.sum(
+        (mag[..., None] >= thresholds).astype(jnp.int32), axis=-1
+    ) - 1
+    idx = jnp.maximum(idx, 0)  # tau_0 = 0 makes this a no-op; keep for safety
+    levels = thresholds.shape[-1]
+    sign_bit = (x < 0).astype(jnp.int32)
+    return sign_bit * levels + idx
+
+
+def dequantize(code: jnp.ndarray, thresholds: jnp.ndarray) -> jnp.ndarray:
+    """Invert :func:`quantize`: reconstruct to the threshold value with sign
+    (reference ``rcq_decoder.py:93-121``)."""
+    levels = thresholds.shape[-1]
+    sign_bit = (code >= levels).astype(jnp.int32)
+    idx = code % levels
+    mag = jnp.take_along_axis(
+        jnp.broadcast_to(thresholds, code.shape[:-0] + (levels,))
+        if thresholds.ndim == 1
+        else thresholds,
+        idx[..., None],
+        axis=-1,
+    )[..., 0] if thresholds.ndim > 1 else thresholds[idx]
+    return (1.0 - 2.0 * sign_bit.astype(jnp.float32)) * mag
+
+
+def quantize_dequantize(x: jnp.ndarray, thresholds: jnp.ndarray) -> jnp.ndarray:
+    """Fused quantize∘dequantize without materializing integer codes:
+    snap |x| down to the largest threshold <= |x|, keep the sign.
+
+    Bit-exact with ``dequantize(quantize(x))`` for all x (including x == 0,
+    where the reference's ``sign_bit = (x < 0)`` yields +tau_0 = +0).
+    """
+    mag = jnp.abs(x)
+    idx = jnp.sum((mag[..., None] >= thresholds).astype(jnp.int32), axis=-1) - 1
+    idx = jnp.maximum(idx, 0)
+    snapped = thresholds[idx] if thresholds.ndim == 1 else jnp.take_along_axis(
+        thresholds, idx[..., None], axis=-1
+    )[..., 0]
+    sign = jnp.where(x < 0, -1.0, 1.0)
+    return sign * snapped
+
+
+def qdq_ste(x: jnp.ndarray, thresholds: jnp.ndarray) -> jnp.ndarray:
+    """Straight-through estimator: forward = quantize∘dequantize, backward =
+    identity clipped to the quantizer's dynamic range [-C, C].
+
+    This is the standard fake-quant rule that makes W-RCQ trainable (a stated
+    capability of the paper the reference never delivered — SURVEY §7).
+    """
+    C = thresholds[..., -1]
+    clipped = jnp.clip(x, -C, C)
+    return clipped + jax.lax.stop_gradient(quantize_dequantize(x, thresholds) - clipped)
+
+
+@dataclasses.dataclass(frozen=True)
+class NonUniformQuantizer:
+    """API-parity wrapper bundling (bc, C, gamma) with its LUT.
+
+    Mirrors the reference class surface: ``.bc``, ``.C``, ``.gamma``,
+    ``.thresholds``, ``.quantize(x)``, ``.dequantize(q)``
+    (``rcq_decoder.py:22-121``).
+    """
+
+    bc: int
+    C: float
+    gamma: float
+
+    @property
+    def thresholds(self) -> np.ndarray:
+        return power_thresholds(self.bc, self.C, self.gamma)
+
+    def quantize(self, x: jnp.ndarray) -> jnp.ndarray:
+        return quantize(jnp.asarray(x), jnp.asarray(self.thresholds))
+
+    def dequantize(self, code: jnp.ndarray) -> jnp.ndarray:
+        return dequantize(jnp.asarray(code), jnp.asarray(self.thresholds))
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return quantize_dequantize(jnp.asarray(x), jnp.asarray(self.thresholds))
+
+
+def phase_schedule(max_iterations: int, num_quantizers: int) -> np.ndarray:
+    """Per-iteration quantizer index, matching the reference's thirds rule
+    (``rcq_decoder.py:156-167``): one quantizer -> always 0; otherwise
+    iteration < T//3 -> 0, < 2T//3 -> 1, else last."""
+    T = max_iterations
+    sched = np.zeros(T, dtype=np.int32)
+    if num_quantizers <= 1:
+        return sched
+    for t in range(T):
+        if t < T // 3:
+            sched[t] = 0
+        elif t < 2 * T // 3:
+            sched[t] = min(1, num_quantizers - 1)
+        else:
+            sched[t] = num_quantizers - 1
+    return sched
+
+
+def stack_quantizer_thresholds(
+    bc: int, quantizer_params: Sequence[Tuple[float, float]], max_iterations: int
+) -> np.ndarray:
+    """Precompute a [T, L] per-iteration threshold LUT from a list of
+    (C, gamma) pairs plus the thirds phase schedule — the scan-friendly form
+    consumed by the decode engine."""
+    luts = np.stack([power_thresholds(bc, C, g) for C, g in quantizer_params])
+    sched = phase_schedule(max_iterations, len(quantizer_params))
+    return luts[sched]

@@ -1,0 +1,108 @@
+import numpy as np
+import pytest
+
+import ldpc_tpu
+from ldpc_tpu.codes import build_graph
+
+
+def test_test_code_matches_reference_fixture(test_code):
+    # reference ldpc_decoder.py:274-284: (7,4), 13 edges, degrees {3,3,3,4}/{1,3}
+    assert (test_code.n, test_code.k, test_code.m) == (7, 4, 4)
+    assert test_code.num_edges == 13
+    assert test_code.rate == pytest.approx(4 / 7)
+    assert sorted(test_code.check_node_degrees.values()) == [3, 3, 3, 4]
+    dv = test_code.variable_node_degrees
+    assert dv == {0: 3, 1: 3, 2: 3, 3: 1, 4: 1, 5: 1, 6: 1}
+    assert test_code.max_iterations == 10
+
+
+def test_graph_tables_consistent(test_code, test_graph):
+    g = test_graph
+    H = test_code.H
+    E = g.num_edges
+    # every edge endpoint matches H
+    for e in range(E):
+        assert H[g.edge_check[e], g.edge_var[e]] == 1
+    # cn_slots covers every edge exactly once
+    real = g.cn_slots[g.cn_mask]
+    assert sorted(real.tolist()) == list(range(E))
+    # edge_cn_slot is the inverse map
+    flat = g.cn_slots.reshape(-1)
+    for e in range(E):
+        assert flat[g.edge_cn_slot[e]] == e
+    # vn_slots covers every edge exactly once
+    real = g.vn_slots[g.vn_mask]
+    assert sorted(real.tolist()) == list(range(E))
+    # cn_var_slots matches edge_var through cn_slots
+    for i in range(g.m):
+        for s in range(g.max_dc):
+            if g.cn_mask[i, s]:
+                assert g.cn_var_slots[i, s] == g.edge_var[g.cn_slots[i, s]]
+            else:
+                assert g.cn_var_slots[i, s] == g.n
+
+
+def test_degree_buckets(test_graph):
+    g = test_graph
+    assert g.unique_dc == (3, 4)
+    assert g.unique_dv == (1, 3)
+    for e in range(g.num_edges):
+        assert g.unique_dc[g.edge_dc_bucket[e]] == g.check_degree[g.edge_check[e]]
+        assert g.unique_dv[g.edge_dv_bucket[e]] == g.var_degree[g.edge_var[e]]
+        assert g.edge_dcdv_bucket[e] == (
+            g.edge_dc_bucket[e] * len(g.unique_dv) + g.edge_dv_bucket[e])
+
+
+def test_random_regular_code_is_low_density():
+    code = ldpc_tpu.create_random_regular_code(n=256, m=128, dv=3, seed=0)
+    density = code.H.mean()
+    assert density < 0.05  # genuinely low density (reference's fake DVB-S2
+    # factory emits ~50% density, SURVEY §8.7)
+    assert (code.H.sum(axis=1) >= 1).all()
+    assert set(np.unique(code.H.sum(axis=0))) <= {3, 4}
+
+
+def test_peg_code_structure():
+    code = ldpc_tpu.create_peg_code(n=96, m=48, dv=3, seed=0)
+    assert (code.H.sum(axis=0) == 3).all()
+    assert (code.H.sum(axis=1) >= 1).all()
+    # PEG should avoid 4-cycles at this size: no two columns share 2+ checks
+    H = code.H.astype(np.int32)
+    gram = H.T @ H
+    np.fill_diagonal(gram, 0)
+    assert gram.max() <= 1
+
+
+def test_qc_lifting():
+    base = np.array([[0, 1, -1], [2, -1, 0]])
+    code = ldpc_tpu.create_qc_code(base, lift=4)
+    assert code.H.shape == (8, 12)
+    assert code.num_edges == 4 * 4  # four non-(-1) blocks, weight-1 circulants
+    # each circulant block is a shifted identity
+    blk = code.H[0:4, 0:4]
+    assert (blk == np.roll(np.eye(4, dtype=np.uint8), 0, axis=1)).all()
+    blk = code.H[0:4, 4:8]
+    assert (blk == np.roll(np.eye(4, dtype=np.uint8), 1, axis=1)).all()
+
+
+def test_dvbs2_like_dimensions_and_density():
+    code = ldpc_tpu.create_dvbs2_like_code(n=1800, k=800, seed=0)
+    assert (code.n, code.k) == (1800, 800)
+    assert code.H.mean() < 0.01
+    # parity staircase: last column degree 1, others degree >= 2
+    assert code.H[:, -1].sum() == 1
+    assert (code.H.sum(axis=1) >= 2).all()
+
+
+def test_pbrl_like_rates():
+    code = ldpc_tpu.create_pbrl_like_code(k=120, rate=1 / 3, seed=0)
+    assert code.k == 120 and code.n == 360
+    assert code.H.mean() < 0.05
+
+
+def test_alist_roundtrip(tmp_path, test_code):
+    p = tmp_path / "code.alist"
+    ldpc_tpu.save_alist(test_code, str(p))
+    loaded = ldpc_tpu.load_alist(str(p))
+    assert (loaded.H == test_code.H).all()
+    assert loaded.n == test_code.n and loaded.m == test_code.m

@@ -1,0 +1,100 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ldpc_tpu.quantizer import (
+    NonUniformQuantizer,
+    dequantize,
+    phase_schedule,
+    power_thresholds,
+    qdq_ste,
+    quantize,
+    quantize_dequantize,
+    stack_quantizer_thresholds,
+)
+
+
+def test_threshold_formula():
+    # tau_j = C * (j / (2^(bc-1)-1))^gamma (reference rcq_decoder.py:48-57)
+    thr = power_thresholds(bc=3, C=5.0, gamma=1.5)
+    assert thr.shape == (4,)
+    expected = 5.0 * (np.arange(4) / 3.0) ** 1.5
+    np.testing.assert_allclose(thr, expected, rtol=1e-6)
+    assert thr[0] == 0.0 and thr[-1] == pytest.approx(5.0)
+
+
+def test_golden_roundtrip_vector():
+    # the reference's own smoke vector (rcq_decoder.py:609,
+    # comprehensive_test.py:261): bc=3, C=5, gamma=1.5
+    q = NonUniformQuantizer(bc=3, C=5.0, gamma=1.5)
+    x = jnp.array([-3.2, -1.1, 0.5, 2.8, 4.1])
+    thr = q.thresholds  # [0, 0.962, 2.722, 5.0]
+    codes = np.asarray(q.quantize(x))
+    # manual: |x| >= tau rule
+    #  3.2 -> idx 2 (>=2.722), sign bit 1 -> 4+2=6
+    #  1.1 -> idx 1, sign 1 -> 5
+    #  0.5 -> idx 0, sign 0 -> 0
+    #  2.8 -> idx 2 -> 2
+    #  4.1 -> idx 2 -> 2
+    np.testing.assert_array_equal(codes, [6, 5, 0, 2, 2])
+    recon = np.asarray(q.dequantize(jnp.asarray(codes)))
+    np.testing.assert_allclose(
+        recon, [-thr[2], -thr[1], 0.0, thr[2], thr[2]], rtol=1e-6)
+
+
+def test_qdq_idempotent():
+    q = NonUniformQuantizer(bc=4, C=7.0, gamma=1.2)
+    x = jnp.linspace(-9, 9, 101)
+    once = q(x)
+    twice = q(once)
+    np.testing.assert_allclose(np.asarray(once), np.asarray(twice), atol=1e-6)
+
+
+def test_qdq_matches_quantize_dequantize():
+    q = NonUniformQuantizer(bc=3, C=5.0, gamma=1.5)
+    x = jnp.array([-6.0, -5.0, -0.1, 0.0, 0.1, 0.96, 0.97, 2.72, 5.0, 6.0])
+    fused = np.asarray(q(x))
+    explicit = np.asarray(q.dequantize(q.quantize(x)))
+    np.testing.assert_allclose(fused, explicit, atol=0)
+
+
+def test_exact_threshold_values_snap_up():
+    # inclusive >= compare: a magnitude equal to a threshold gets that index
+    thr = jnp.asarray(power_thresholds(3, 5.0, 1.0))  # uniform: 0, 5/3, 10/3, 5
+    x = jnp.array([5 / 3, 10 / 3, 5.0])
+    out = np.asarray(quantize_dequantize(x, thr))
+    np.testing.assert_allclose(out, np.asarray(x), rtol=1e-6)
+
+
+def test_clamp_above_max():
+    q = NonUniformQuantizer(bc=3, C=5.0, gamma=1.5)
+    assert float(q(jnp.asarray(100.0))) == pytest.approx(5.0)
+    assert float(q(jnp.asarray(-100.0))) == pytest.approx(-5.0)
+
+
+def test_phase_schedule_thirds():
+    # reference rcq_decoder.py:156-167
+    assert phase_schedule(10, 1).tolist() == [0] * 10
+    s = phase_schedule(10, 3)
+    assert s.tolist() == [0, 0, 0, 1, 1, 1, 2, 2, 2, 2]
+    s = phase_schedule(10, 2)
+    assert s.tolist() == [0, 0, 0, 1, 1, 1, 1, 1, 1, 1]
+
+
+def test_stacked_thresholds():
+    luts = stack_quantizer_thresholds(3, [(3.0, 1.3), (5.0, 1.3), (7.0, 1.3)], 9)
+    assert luts.shape == (9, 4)
+    np.testing.assert_allclose(luts[0], power_thresholds(3, 3.0, 1.3))
+    np.testing.assert_allclose(luts[4], power_thresholds(3, 5.0, 1.3))
+    np.testing.assert_allclose(luts[8], power_thresholds(3, 7.0, 1.3))
+
+
+def test_ste_gradient_is_identity_in_range():
+    import jax
+
+    thr = jnp.asarray(power_thresholds(3, 5.0, 1.5))
+    g = jax.grad(lambda x: qdq_ste(x, thr))(1.3)
+    assert float(g) == pytest.approx(1.0)
+    # outside the dynamic range the STE gradient is clipped to zero
+    g = jax.grad(lambda x: qdq_ste(x, thr))(8.0)
+    assert float(g) == pytest.approx(0.0)
