@@ -43,4 +43,18 @@ from ldpc_tpu.decode import (
     weighted_rcq,
 )
 
+from ldpc_tpu.sim import (
+    LDPCSimulator,
+    SimulationConfig,
+    SimulationResult,
+    create_test_decoders,
+    simulate_single_snr,
+)
+from ldpc_tpu.train import (
+    GradientExplosionAnalyzer,
+    PosteriorJointTrainer,
+    TrainingConfig,
+    posterior_joint_loss,
+)
+
 __version__ = "0.1.0"

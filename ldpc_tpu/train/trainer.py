@@ -1,0 +1,322 @@
+"""Posterior-joint training of neural decoder weights.
+
+Capability parity with the reference's ``PosteriorJointTrainer``
+(``training_framework.py:37-295``) — all-zero-codeword AWGN data over an SNR
+range, BCE-with-logits loss on the (negated) posterior, Adam, gradient-norm
+telemetry, optional clipping, validation, accuracy early-stop, history
+artifacts — with the parts that never worked in the reference fixed:
+
+- the loss actually runs (the reference calls ``F.binary_cross_entropy...``
+  without importing ``F`` — ``training_framework.py:101``, SURVEY §8.2);
+- decoders are batched, so batched training actually executes (the reference
+  decoders index scalar LLRs and crash on ``(batch, n)`` input, SURVEY §8.4);
+- ``use_posterior_training`` is live (dead in the reference, SURVEY §8.9):
+  True = the paper's posterior *joint* loss summed over every iteration's
+  posterior (what tames gradient explosion, paper §V); False = final-posterior
+  BCE only (the reference's effective behavior);
+- quantized (RCQ/W-RCQ) decoders train through a straight-through estimator
+  (``ldpc_tpu.quantizer.qdq_ste``) — the reference's RCQ path is
+  inference-only.
+
+TPU-first: one jitted ``train_step`` (decode → loss → grad → clip → Adam)
+per batch; data generation is a jitted on-device sampler, so epochs never
+touch host memory. For multi-chip data parallelism pass a ``mesh`` — batches
+are sharded over the batch axis and XLA inserts the gradient ``psum``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ldpc_tpu.channel import awgn_llr
+from ldpc_tpu.decode.engine import decode_batch
+from ldpc_tpu.decode.variants import Decoder
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["TrainingConfig", "PosteriorJointTrainer", "posterior_joint_loss"]
+
+
+@dataclasses.dataclass
+class TrainingConfig:
+    """Mirrors the reference ``TrainingConfig``
+    (``training_framework.py:23-35``); every field is read."""
+
+    batch_size: int = 32
+    num_epochs: int = 100
+    learning_rate: float = 1e-3
+    snr_range: Tuple[float, float] = (0.0, 6.0)
+    use_posterior_training: bool = True
+    use_gradient_clipping: bool = False
+    clip_threshold: float = 1e-3
+    early_stop_accuracy: float = 0.99
+    seed: int = 0
+
+
+def posterior_joint_loss(
+    weights,
+    llr: jnp.ndarray,        # [B, n]
+    targets: jnp.ndarray,    # [B, n] bits
+    *,
+    graph,
+    spec,
+    max_iterations: int,
+    joint: bool,
+):
+    """BCE-with-logits on the negated posterior (reference
+    ``training_framework.py:87-104``: ``BCEWithLogits(-posterior, target)``).
+
+    With our (consistent) sign convention positive posterior ⇒ bit 0, so the
+    logit of P(bit=1) is ``-posterior``. ``joint=True`` averages the BCE over
+    every iteration's posterior (the paper's posterior joint loss);
+    ``joint=False`` uses the final posterior only.
+
+    Returns (loss, aux) with aux = (final posterior, bit accuracy).
+    """
+    out = decode_batch(llr, weights, graph=graph, spec=spec,
+                       max_iterations=max_iterations, ste=True,
+                       return_trajectory=joint)
+    targets = targets.astype(jnp.float32)
+    if joint:
+        # posteriors_all: [T, B, n] — every iteration contributes
+        bce = optax.sigmoid_binary_cross_entropy(
+            -out.posteriors_all, targets[None])
+    else:
+        bce = optax.sigmoid_binary_cross_entropy(-out.posterior, targets)
+    loss = jnp.mean(bce)
+    acc = jnp.mean((out.bits == targets.astype(jnp.int32)).astype(jnp.float32))
+    return loss, (out.posterior, acc)
+
+
+class PosteriorJointTrainer:
+    """Train any neural decoder's weight tables
+    (reference ``PosteriorJointTrainer``, ``training_framework.py:37-295``)."""
+
+    def __init__(self, decoder: Decoder,
+                 config: Optional[TrainingConfig] = None, mesh=None):
+        if all(w is None for w in decoder.weights.values()):
+            raise ValueError(
+                f"decoder {decoder.name!r} has no trainable weights")
+        self.decoder = decoder
+        self.config = config or TrainingConfig()
+        self.mesh = mesh
+        self.optimizer = self._build_optimizer()
+        self.opt_state = self.optimizer.init(self._trainable(decoder.weights))
+        # history (reference training_framework.py:52-55)
+        self.training_losses: List[float] = []
+        self.validation_losses: List[float] = []
+        self.training_accuracies: List[float] = []
+        self.gradient_norms: List[float] = []
+        self._train_step = self._build_train_step()
+        self._eval_step = self._build_eval_step()
+        self._sample = self._build_sampler()
+
+    # -- construction helpers ------------------------------------------------
+
+    def _build_optimizer(self):
+        cfg = self.config
+        chain = []
+        if cfg.use_gradient_clipping:
+            # reference clips the global norm to clip_threshold
+            # (training_framework.py:146-148)
+            chain.append(optax.clip_by_global_norm(cfg.clip_threshold))
+        chain.append(optax.adam(cfg.learning_rate))
+        return optax.chain(*chain)
+
+    @staticmethod
+    def _trainable(weights):
+        return {k: w for k, w in weights.items() if w is not None}
+
+    def _merged(self, trainable):
+        w = dict(self.decoder.weights)
+        w.update(trainable)
+        return w
+
+    def _build_train_step(self):
+        dec, cfg = self.decoder, self.config
+        loss_fn = partial(
+            posterior_joint_loss, graph=dec.graph, spec=dec.spec,
+            max_iterations=dec.max_iterations,
+            joint=cfg.use_posterior_training)
+
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            batch_sh = NamedSharding(self.mesh, P("batch"))
+        else:
+            batch_sh = None
+
+        def step(trainable, opt_state, llr, targets):
+            if batch_sh is not None:
+                llr = jax.lax.with_sharding_constraint(llr, batch_sh)
+                targets = jax.lax.with_sharding_constraint(targets, batch_sh)
+
+            def wrapped(tr):
+                return loss_fn(self._merged(tr), llr, targets)
+
+            (loss, (_, acc)), grads = jax.value_and_grad(
+                wrapped, has_aux=True)(trainable)
+            gnorm = optax.global_norm(grads)  # telemetry (:137-144)
+            updates, opt_state = self.optimizer.update(grads, opt_state,
+                                                       trainable)
+            trainable = optax.apply_updates(trainable, updates)
+            return trainable, opt_state, loss, acc, gnorm
+
+        return jax.jit(step)
+
+    def _build_eval_step(self):
+        dec, cfg = self.decoder, self.config
+        loss_fn = partial(
+            posterior_joint_loss, graph=dec.graph, spec=dec.spec,
+            max_iterations=dec.max_iterations,
+            joint=cfg.use_posterior_training)
+
+        def step(trainable, llr, targets):
+            loss, (_, acc) = loss_fn(self._merged(trainable), llr, targets)
+            return loss, acc
+
+        return jax.jit(step)
+
+    def _build_sampler(self):
+        """All-zero-codeword batches with per-sample SNR drawn from a linspace
+        over ``snr_range`` (reference ``generate_training_data``,
+        ``training_framework.py:58-85``)."""
+        n = self.decoder.code.n
+        lo, hi = self.config.snr_range
+        B = self.config.batch_size
+
+        @jax.jit
+        def sample(key):
+            ksnr, knoise = jax.random.split(key)
+            # reference uses a deterministic linspace across the dataset;
+            # per-batch we draw uniformly over the same range
+            snrs = jax.random.uniform(ksnr, (B,), minval=lo, maxval=hi)
+            zeros = jnp.zeros((B, n), jnp.float32)
+            llr = awgn_llr(knoise, zeros, snrs)
+            return llr, zeros
+
+        return sample
+
+    # -- reference-parity API ------------------------------------------------
+
+    def generate_training_data(self, num_samples: int,
+                               key: Optional[jax.Array] = None):
+        """Materialize a dataset like the reference's
+        (``training_framework.py:58-85``): all-zero codewords, SNRs =
+        linspace over ``snr_range``. Returns (llrs [N, n], targets [N, n])."""
+        if key is None:
+            key = jax.random.PRNGKey(self.config.seed)
+        n = self.decoder.code.n
+        lo, hi = self.config.snr_range
+        snrs = jnp.linspace(lo, hi, num_samples)
+        zeros = jnp.zeros((num_samples, n), jnp.float32)
+        llrs = awgn_llr(key, zeros, snrs)
+        return llrs, zeros
+
+    def compute_loss(self, llr, targets):
+        """Standalone loss evaluation (reference ``compute_loss``,
+        ``training_framework.py:87-104``)."""
+        loss, acc = self._eval_step(self._trainable(self.decoder.weights),
+                                    jnp.atleast_2d(llr), jnp.atleast_2d(targets))
+        return float(loss)
+
+    def train_epoch(self, key: jax.Array, batches_per_epoch: int):
+        """One epoch of on-device sampled batches; returns
+        (mean loss, mean accuracy, mean gradient norm)."""
+        trainable = self._trainable(self.decoder.weights)
+        losses, accs, gnorms = [], [], []
+        for _ in range(batches_per_epoch):
+            key, sub = jax.random.split(key)
+            llr, targets = self._sample(sub)
+            trainable, self.opt_state, loss, acc, gnorm = self._train_step(
+                trainable, self.opt_state, llr, targets)
+            losses.append(loss)
+            accs.append(acc)
+            gnorms.append(gnorm)
+        self.decoder.weights = self._merged(trainable)
+        return (float(jnp.mean(jnp.stack(losses))),
+                float(jnp.mean(jnp.stack(accs))),
+                float(jnp.mean(jnp.stack(gnorms))))
+
+    def train(self, num_samples: int = 3200,
+              val_samples: int = 640, verbose: bool = True) -> Dict:
+        """Full training loop (reference ``train``,
+        ``training_framework.py:169-227``): epochs of batches, per-epoch
+        validation, early stop once training accuracy exceeds
+        ``early_stop_accuracy`` (reference hardcodes 0.99, ``:219-221``)."""
+        cfg = self.config
+        batches_per_epoch = max(1, num_samples // cfg.batch_size)
+        key = jax.random.PRNGKey(cfg.seed)
+        key, vkey = jax.random.split(key)
+        val_llr, val_tgt = self.generate_training_data(val_samples, vkey)
+
+        t0 = time.time()
+        for epoch in range(cfg.num_epochs):
+            key, ekey = jax.random.split(key)
+            loss, acc, gnorm = self.train_epoch(ekey, batches_per_epoch)
+            vloss, vacc = self._eval_step(
+                self._trainable(self.decoder.weights), val_llr, val_tgt)
+            self.training_losses.append(loss)
+            self.training_accuracies.append(acc)
+            self.gradient_norms.append(gnorm)
+            self.validation_losses.append(float(vloss))
+            if verbose:
+                logger.info(
+                    "epoch %d/%d: loss=%.4f acc=%.4f val_loss=%.4f "
+                    "val_acc=%.4f |grad|=%.3e",
+                    epoch + 1, cfg.num_epochs, loss, acc, float(vloss),
+                    float(vacc), gnorm)
+            if acc > cfg.early_stop_accuracy:
+                if verbose:
+                    logger.info("early stop: accuracy %.4f > %.2f",
+                                acc, cfg.early_stop_accuracy)
+                break
+        return {
+            "training_losses": self.training_losses,
+            "validation_losses": self.validation_losses,
+            "training_accuracies": self.training_accuracies,
+            "gradient_norms": self.gradient_norms,
+            "train_time": time.time() - t0,
+            "final_weights": self.decoder.weights,
+        }
+
+    def validate(self, llr=None, targets=None) -> Tuple[float, float]:
+        """(loss, bit accuracy) on held-out data (reference ``validate``,
+        ``training_framework.py:229-264``)."""
+        if llr is None:
+            llr, targets = self.generate_training_data(
+                640, jax.random.PRNGKey(self.config.seed + 1))
+        loss, acc = self._eval_step(self._trainable(self.decoder.weights),
+                                    llr, targets)
+        return float(loss), float(acc)
+
+    def plot_training_history(self, path: str = "training_history.png"):
+        """Loss/accuracy/grad-norm panels (reference
+        ``plot_training_history``, ``training_framework.py:266-295``)."""
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, axes = plt.subplots(1, 3, figsize=(15, 4))
+        axes[0].plot(self.training_losses, label="train")
+        axes[0].plot(self.validation_losses, label="val")
+        axes[0].set_xlabel("epoch"); axes[0].set_ylabel("BCE loss")
+        axes[0].legend(); axes[0].set_title("Loss")
+        axes[1].plot(self.training_accuracies)
+        axes[1].set_xlabel("epoch"); axes[1].set_ylabel("bit accuracy")
+        axes[1].set_title("Accuracy")
+        axes[2].semilogy(self.gradient_norms)
+        axes[2].set_xlabel("epoch"); axes[2].set_ylabel("global grad norm")
+        axes[2].set_title("Gradient norms")
+        fig.tight_layout()
+        fig.savefig(path, dpi=120)
+        plt.close(fig)
+        return path

@@ -1,0 +1,108 @@
+"""Monte-Carlo simulator tests (reference simulation_framework.py parity)."""
+
+import json
+
+import jax
+import numpy as np
+import pytest
+
+import ldpc_tpu
+from ldpc_tpu.sim import (
+    LDPCSimulator,
+    SimulationConfig,
+    SimulationResult,
+    create_test_decoders,
+    simulate_single_snr,
+)
+
+
+def test_fer_decreases_with_snr(test_code):
+    """With the sign convention fixed (SURVEY §8.1) the waterfall must be
+    monotone — the reference's own MC path yields FER=1.0 at 10 dB."""
+    dec = ldpc_tpu.basic_min_sum(test_code, max_iterations=10)
+    cfg = SimulationConfig(max_frames=2048, max_errors=10**9, min_frames=0,
+                           wave_size=512)
+    fers = []
+    for snr in (0.0, 4.0, 8.0):
+        fer, ber, avg_iter, frames, errors = simulate_single_snr(
+            dec, snr, cfg, key=jax.random.PRNGKey(1))
+        fers.append(fer)
+        assert 0.0 <= ber <= fer <= 1.0
+        assert 1.0 <= avg_iter <= 10.0
+    assert fers[0] > fers[1] > fers[2]
+    assert fers[2] < 0.01
+
+
+def test_stops_on_max_errors(test_code):
+    dec = ldpc_tpu.basic_min_sum(test_code, max_iterations=5)
+    cfg = SimulationConfig(max_frames=100000, max_errors=50, min_frames=0,
+                           wave_size=256)
+    # at 0 dB the (7,4) code fails often: should stop far before max_frames
+    _, _, _, frames, errors = simulate_single_snr(
+        dec, 0.0, cfg, key=jax.random.PRNGKey(0))
+    assert errors >= 50
+    assert frames < 100000
+
+
+def test_min_frames_honored(test_code):
+    dec = ldpc_tpu.basic_min_sum(test_code, max_iterations=5)
+    cfg = SimulationConfig(max_frames=100000, max_errors=1, min_frames=2048,
+                           wave_size=512)
+    _, _, _, frames, _ = simulate_single_snr(
+        dec, 0.0, cfg, key=jax.random.PRNGKey(0))
+    assert frames >= 2048
+
+
+def test_sweep_and_json_roundtrip(test_code, tmp_path):
+    cfg = SimulationConfig(snr_range=(2.0, 4.0), snr_step=1.0,
+                           max_frames=512, max_errors=10**9, min_frames=0,
+                           wave_size=256, results_dir=str(tmp_path))
+    sim = LDPCSimulator(cfg)
+    decs = {
+        "Basic": ldpc_tpu.basic_min_sum(test_code, max_iterations=8),
+        "RCQ": ldpc_tpu.rcq_min_sum(test_code, bc=4, max_iterations=8),
+    }
+    results = sim.simulate_multiple_decoders(decs, verbose=False)
+    assert set(results) == {"Basic", "RCQ"}
+    assert len(results["Basic"].frame_error_rates) == 3
+
+    path = sim.save_results("out.json")
+    with open(path) as f:
+        raw = json.load(f)
+    # reference-compatible keys (simulation_framework.py:344-353)
+    assert set(raw["Basic"]) == {
+        "decoder_name", "snr_values", "frame_error_rates", "bit_error_rates",
+        "average_iterations", "simulation_times", "total_frames",
+        "total_errors"}
+
+    sim2 = LDPCSimulator(cfg)
+    loaded = sim2.load_results("out.json")
+    assert loaded["RCQ"].frame_error_rates == results["RCQ"].frame_error_rates
+
+
+def test_decoder_zoo(test_code):
+    """The 9-decoder comparison set (simulation_framework.py:384-420)."""
+    zoo = create_test_decoders(test_code, max_iterations=10)
+    assert set(zoo) == {
+        "Basic-MinSum", "N-NMS", "N-OMS", "N-2D-NMS-T1", "N-2D-NMS-T2",
+        "N-2D-NMS-T3", "N-2D-NMS-T4", "RCQ", "W-RCQ-T2"}
+    # param-count goldens: 130 for N-NMS on (7,4)@10 iters
+    # (IMPLEMENTATION_SUMMARY.md:165-172)
+    assert zoo["N-NMS"].param_count() == 130
+    assert zoo["Basic-MinSum"].param_count() == 0
+
+
+def test_sharded_wave_matches_stats(test_code):
+    """Mesh-sharded waves produce valid pooled statistics on 8 virtual
+    devices (multi-chip path, SURVEY §5 'distributed backend')."""
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("batch",))
+    dec = ldpc_tpu.basic_min_sum(test_code, max_iterations=8)
+    cfg = SimulationConfig(snr_range=(4.0, 4.0), snr_step=1.0,
+                           max_frames=1024, max_errors=10**9, min_frames=0,
+                           wave_size=1024)
+    sim = LDPCSimulator(cfg, mesh=mesh)
+    res = sim.simulate_decoder(dec, verbose=False)
+    assert res.total_frames[0] == 1024
+    assert 0.0 <= res.frame_error_rates[0] <= 1.0

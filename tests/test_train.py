@@ -1,0 +1,114 @@
+"""Training framework tests (reference training_framework.py parity —
+fixed so batched training actually runs, SURVEY §8.2/§8.4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import ldpc_tpu
+from ldpc_tpu.train import (
+    GradientExplosionAnalyzer,
+    PosteriorJointTrainer,
+    TrainingConfig,
+)
+
+
+def _cfg(**kw):
+    base = dict(batch_size=64, num_epochs=5, learning_rate=5e-3,
+                snr_range=(1.0, 5.0), seed=0)
+    base.update(kw)
+    return TrainingConfig(**base)
+
+
+def test_train_improves_nnms(test_code):
+    dec = ldpc_tpu.neural_min_sum(test_code, max_iterations=5, seed=3)
+    tr = PosteriorJointTrainer(dec, _cfg())
+    hist = tr.train(num_samples=640, val_samples=256, verbose=False)
+    assert len(hist["training_losses"]) >= 1
+    assert hist["training_losses"][-1] <= hist["training_losses"][0] + 1e-3
+    assert hist["training_accuracies"][-1] > 0.9
+    assert all(np.isfinite(hist["gradient_norms"]))
+
+
+def test_train_2d_type2_weights_move(mid_code):
+    dec = ldpc_tpu.neural_2d_min_sum(mid_code, weight_sharing_type=2,
+                                     max_iterations=8, seed=0)
+    w0 = jax.tree_util.tree_map(lambda x: np.asarray(x), dict(dec.weights))
+    tr = PosteriorJointTrainer(dec, _cfg(num_epochs=2, batch_size=32))
+    tr.train(num_samples=128, verbose=False)
+    moved = np.abs(np.asarray(dec.weights["beta"]) - w0["beta"]).max()
+    assert moved > 1e-4
+    # untrained 2D weights start near zero (reference init 0.1*randn);
+    # after training on real noise they should move toward useful values
+    assert np.isfinite(np.asarray(dec.weights["beta"])).all()
+
+
+def test_wrcq_ste_training_gradients_flow(test_code):
+    """W-RCQ trains through the quantizer via STE — the capability the
+    reference never delivered (its RCQ path is inference-only)."""
+    dec = ldpc_tpu.weighted_rcq(test_code, bc=3, weight_sharing_type=2,
+                                max_iterations=6, seed=1)
+    tr = PosteriorJointTrainer(dec, _cfg(num_epochs=1, batch_size=32))
+    loss0, acc0 = tr.validate()
+    hist = tr.train(num_samples=256, verbose=False)
+    assert np.isfinite(hist["training_losses"]).all()
+    assert all(g > 0 for g in hist["gradient_norms"])
+
+
+def test_final_only_vs_joint_loss_modes(test_code):
+    dec = ldpc_tpu.neural_min_sum(test_code, max_iterations=5, seed=0)
+    for joint in (True, False):
+        tr = PosteriorJointTrainer(
+            dec, _cfg(num_epochs=1, use_posterior_training=joint))
+        llr, tgt = tr.generate_training_data(64)
+        loss = tr.compute_loss(llr, tgt)
+        assert np.isfinite(loss) and loss > 0
+
+
+def test_gradient_clipping_bounds_updates(test_code):
+    dec = ldpc_tpu.neural_min_sum(test_code, max_iterations=5, seed=0)
+    tr = PosteriorJointTrainer(
+        dec, _cfg(num_epochs=1, use_gradient_clipping=True,
+                  clip_threshold=1e-3))
+    hist = tr.train(num_samples=128, verbose=False)
+    assert np.isfinite(hist["training_losses"]).all()
+
+
+def test_untrainable_decoder_rejected(test_code):
+    dec = ldpc_tpu.basic_min_sum(test_code)
+    with pytest.raises(ValueError):
+        PosteriorJointTrainer(dec, _cfg())
+
+
+def test_generate_training_data_shapes(test_code):
+    dec = ldpc_tpu.neural_min_sum(test_code, max_iterations=5)
+    tr = PosteriorJointTrainer(dec, _cfg())
+    llr, tgt = tr.generate_training_data(100)
+    assert llr.shape == (100, 7) and tgt.shape == (100, 7)
+    # all-zero codewords at positive SNR: LLRs mostly positive
+    assert float(jnp.mean((llr > 0).astype(jnp.float32))) > 0.7
+
+
+def test_gradient_explosion_analyzer(test_code):
+    dec = ldpc_tpu.neural_min_sum(test_code, max_iterations=5, seed=0)
+    an = GradientExplosionAnalyzer(dec)
+    res = an.analyze(num_samples=16, snr_db=2.0)
+    assert set(res) == {"posterior_joint", "final_only"}
+    for st in res.values():
+        assert st["max"] >= st["mean"] >= 0
+        assert len(st["norms"]) == 16
+
+
+def test_data_parallel_training_step(mid_code):
+    """Data-parallel training over an 8-device mesh compiles and runs
+    (multi-chip path)."""
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("batch",))
+    dec = ldpc_tpu.neural_2d_min_sum(mid_code, weight_sharing_type=2,
+                                     max_iterations=4, seed=0)
+    tr = PosteriorJointTrainer(dec, _cfg(num_epochs=1, batch_size=64),
+                               mesh=mesh)
+    hist = tr.train(num_samples=128, verbose=False)
+    assert np.isfinite(hist["training_losses"]).all()
