@@ -1,0 +1,71 @@
+"""Headline benchmark: decoded codewords/sec at bc=3 RCQ on real hardware.
+
+Decodes batched AWGN frames with the 3-bit RCQ min-sum decoder (the
+BASELINE.json metric: "decoded codewords/sec/chip at bc=3 RCQ") on a
+QC-lifted code of the paper's (9472, 8192) structural family, 10 iterations.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is measured against the reference implementation's RCQ
+decode rate — 0.0546 s/frame single-threaded on its (7,4) toy code
+(`IMPLEMENTATION_SUMMARY.md:171`), i.e. ~18.3 codewords/sec — the only
+throughput number the reference publishes.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import ldpc_tpu
+    from ldpc_tpu.channel import awgn_llr
+    from ldpc_tpu.decode.engine import decode_batch
+
+    # QC code with the paper's (9472, 8192) dimensions: 5x37 base, lift 256
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 256, size=(5, 37))
+    code = ldpc_tpu.create_qc_code(base, lift=256, max_iterations=10)
+    dec = ldpc_tpu.rcq_min_sum(
+        code, bc=3, bv=8,
+        quantizer_params=((3.0, 1.3), (5.0, 1.3), (7.0, 1.3)),
+        max_iterations=10)
+
+    B = 2048
+    snr_db = 4.5
+    key = jax.random.PRNGKey(0)
+    zeros = jnp.zeros((B, code.n), jnp.float32)
+
+    @jax.jit
+    def wave(key):
+        llr = awgn_llr(key, zeros, snr_db)
+        out = decode_batch(llr, dec.weights, graph=dec.graph, spec=dec.spec,
+                           max_iterations=dec.max_iterations)
+        return jnp.sum(out.bits), jnp.sum(out.iterations)
+
+    # warmup / compile
+    wave(key)[0].block_until_ready()
+
+    t0 = time.time()
+    reps = 5
+    for i in range(reps):
+        key, sub = jax.random.split(key)
+        bits, iters = wave(sub)
+    bits.block_until_ready()
+    dt = time.time() - t0
+
+    value = reps * B / dt
+    ref_rcq_cw_per_sec = 1.0 / 0.0546  # IMPLEMENTATION_SUMMARY.md:171
+    print(json.dumps({
+        "metric": "decoded_codewords_per_sec_bc3_rcq_n9472",
+        "value": round(value, 1),
+        "unit": "codewords/sec/chip",
+        "vs_baseline": round(value / ref_rcq_cw_per_sec, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -36,7 +36,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ldpc_tpu.codes import DecoderGraph
-from ldpc_tpu.quantizer import quantize_dequantize, qdq_ste
+from ldpc_tpu.quantizer import (
+    power_qdq,
+    power_qdq_ste,
+    qdq_ste,
+    quantize_dequantize,
+)
 
 __all__ = ["VariantSpec", "DecodeResult", "decode_batch", "decode_batch_layered",
            "make_layers"]
@@ -82,6 +87,15 @@ class VariantSpec:
     alpha_in_cn: bool = False
     thresholds: Optional[np.ndarray] = None
     v2c_thresholds: Optional[np.ndarray] = None
+    # power-law fast path: when the quantizer family is tau_j = C*(j/M)^gamma
+    # (every quantizer in this framework), qdq is computed closed-form
+    # elementwise (quantizer.power_qdq) instead of via the LUT — the LUT
+    # forms gather/compare over L entries and dominate decode time on TPU.
+    # qparams: [T, 2] per-iteration (C, gamma); q_levels = 2^(bc-1).
+    qparams: Optional[np.ndarray] = None
+    q_levels: int = 0
+    v2c_qparams: Optional[np.ndarray] = None
+    v2c_levels: int = 0
 
     def __post_init__(self):
         if self.kind not in ("nms", "oms", "rcq", "wrcq"):
@@ -109,14 +123,41 @@ def _per_edge_weights(spec: VariantSpec, weights, t_beta, t_alpha):
     return beta_e, alpha_e
 
 
+def _make_qdq(spec: VariantSpec, x, ste: bool, v2c: bool):
+    """Resolve this iteration's quantize∘dequantize callable (or None).
+
+    Small LUTs (levels <= 16, i.e. bc <= 5) use the exact broadcast-compare
+    path — bit-identical to the reference's threshold scan, and only L
+    compares wide. Large LUTs (bv=8 -> L=128) use the closed-form power-law
+    path (``quantizer.power_qdq``): elementwise VPU math instead of a 128x
+    compare blowup or per-element dynamic gathers, at the cost of <=1 ulp
+    reconstruction rounding on knife-edge inputs (measure-zero for message
+    arithmetic).
+    """
+    if v2c:
+        qparams, levels, thr_key, qp_key = (
+            spec.v2c_qparams, spec.v2c_levels, "vthr", "vqp")
+        if spec.v2c_qparams is None and spec.v2c_thresholds is None:
+            return None
+    else:
+        if spec.kind not in ("rcq", "wrcq"):
+            return None
+        qparams, levels, thr_key, qp_key = (
+            spec.qparams, spec.q_levels, "thr", "qp")
+    if qparams is not None and levels > 16:
+        f = power_qdq_ste if ste else power_qdq
+        return lambda v: f(v, x[qp_key][0], x[qp_key][1], levels)
+    f = qdq_ste if ste else quantize_dequantize
+    return lambda v: f(v, x[thr_key])
+
+
 def _cn_update(
     v2c_ext: jnp.ndarray,  # [E+1, B]
     graph: DecoderGraph,
     spec: VariantSpec,
     beta_e,                # [E] or scalar
     alpha_e,               # [E] or scalar (OMS only)
-    thr_t: Optional[jnp.ndarray],  # [L] this iteration's quantizer LUT
-    ste: bool,
+    qdq,                   # callable or None: this iteration's quantizer
 ) -> jnp.ndarray:
     """One flooding check-node update; returns c2v [E, B]."""
     cn_slots = jnp.asarray(graph.cn_slots)          # [m, max_dc]
@@ -160,11 +201,9 @@ def _cn_update(
             off = off - alpha_col
         c2v = sign_e * off
     elif spec.kind == "rcq":
-        qdq = qdq_ste if ste else quantize_dequantize
-        c2v = qdq(sign_e * mag_e, thr_t)
+        c2v = qdq(sign_e * mag_e)
     elif spec.kind == "wrcq":
-        qdq = qdq_ste if ste else quantize_dequantize
-        c2v = qdq(beta_col * sign_e * mag_e, thr_t)
+        c2v = qdq(beta_col * sign_e * mag_e)
     else:  # pragma: no cover
         raise AssertionError(spec.kind)
     return c2v
@@ -176,8 +215,7 @@ def _vn_update(
     graph: DecoderGraph,
     spec: VariantSpec,
     alpha_e,             # [E] or scalar
-    vthr_t: Optional[jnp.ndarray],
-    ste: bool,
+    vqdq,                # callable or None: bv-bit V2C/posterior quantizer
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Variable-node update; returns (v2c [E, B], posterior [n, B])."""
     B = c2v.shape[-1]
@@ -193,10 +231,9 @@ def _vn_update(
     else:
         v2c = llr_T[edge_var] + alpha_col * ext
 
-    if spec.v2c_thresholds is not None:
-        qdq = qdq_ste if ste else quantize_dequantize
-        v2c = qdq(v2c, vthr_t)
-        posterior = qdq(posterior, vthr_t)
+    if vqdq is not None:
+        v2c = vqdq(v2c)
+        posterior = vqdq(posterior)
     return v2c, posterior
 
 
@@ -220,6 +257,11 @@ def _scan_xs(spec: VariantSpec, weights, T: int):
     xs["vthr"] = (jnp.asarray(spec.v2c_thresholds)
                   if spec.v2c_thresholds is not None
                   else jnp.zeros((T, 1), jnp.float32))
+    xs["qp"] = (jnp.asarray(spec.qparams) if spec.qparams is not None
+                else jnp.zeros((T, 2), jnp.float32))
+    xs["vqp"] = (jnp.asarray(spec.v2c_qparams)
+                 if spec.v2c_qparams is not None
+                 else jnp.zeros((T, 2), jnp.float32))
     xs["t"] = jnp.arange(T, dtype=jnp.int32)
     return xs
 
@@ -262,12 +304,11 @@ def decode_batch(
 
     def body(carry, x):
         beta_e, alpha_e = _per_edge_weights(spec, None, x["beta"], x["alpha"])
-        thr_t = x["thr"] if spec.thresholds is not None else None
-        vthr_t = x["vthr"] if spec.v2c_thresholds is not None else None
+        qdq = _make_qdq(spec, x, ste, v2c=False)
+        vqdq = _make_qdq(spec, x, ste, v2c=True)
 
-        c2v = _cn_update(pad(carry["v2c"]), graph, spec, beta_e, alpha_e,
-                         thr_t, ste)
-        v2c, post = _vn_update(c2v, llr_T, graph, spec, alpha_e, vthr_t, ste)
+        c2v = _cn_update(pad(carry["v2c"]), graph, spec, beta_e, alpha_e, qdq)
+        v2c, post = _vn_update(c2v, llr_T, graph, spec, alpha_e, vqdq)
         bits = (post < 0).astype(jnp.int32)
         ok = _syndrome_ok(bits, graph)
 
@@ -365,8 +406,9 @@ def _decode_layered_impl(llr, weights, layer_checks, *, graph, spec,
 
     def one_iteration(state, x):
         c2v_ext, colsum, done, iters, post_frozen = state
-        beta_t, alpha_t, thr_t, vthr_t, t = (
-            x["beta"], x["alpha"], x["thr"], x["vthr"], x["t"])
+        beta_t, alpha_t, t = x["beta"], x["alpha"], x["t"]
+        qdq = _make_qdq(spec, x, ste, v2c=False)
+        vqdq = _make_qdq(spec, x, ste, v2c=True)
 
         def layer_step(inner, checks):
             c2v_ext, colsum = inner
@@ -424,11 +466,9 @@ def _decode_layered_impl(llr, weights, layer_checks, *, graph, spec,
                     off = off - ac_col
                 new = loo_sign * off
             elif spec.kind == "rcq":
-                qdq = qdq_ste if ste else quantize_dequantize
-                new = qdq(loo_sign * loo_mag, thr_t)
+                new = qdq(loo_sign * loo_mag)
             else:  # wrcq
-                qdq = qdq_ste if ste else quantize_dequantize
-                new = qdq(b_col * loo_sign * loo_mag, thr_t)
+                new = qdq(b_col * loo_sign * loo_mag)
             new = jnp.where(mask, new, 0.0)
 
             delta = (new - jnp.where(mask, old, 0.0)).reshape(-1, B)
@@ -445,9 +485,8 @@ def _decode_layered_impl(llr, weights, layer_checks, *, graph, spec,
             layer_step, (c2v_ext, colsum), jnp.asarray(layer_checks))
 
         post = llr_T + colsum
-        if spec.v2c_thresholds is not None:
-            qdq = qdq_ste if ste else quantize_dequantize
-            post = qdq(post, vthr_t)
+        if vqdq is not None:
+            post = vqdq(post)
         bits = (post < 0).astype(jnp.int32)
         ok = _syndrome_ok(bits, graph)
         post_out = jnp.where(done[None, :], post_frozen, post)

