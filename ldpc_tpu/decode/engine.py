@@ -41,6 +41,8 @@ from ldpc_tpu.quantizer import (
     power_qdq_ste,
     qdq_ste,
     quantize_dequantize,
+    staircase_qdq,
+    staircase_qdq_ste,
 )
 
 __all__ = ["VariantSpec", "DecodeResult", "decode_batch", "decode_batch_layered",
@@ -147,7 +149,7 @@ def _make_qdq(spec: VariantSpec, x, ste: bool, v2c: bool):
     if qparams is not None and levels > 16:
         f = power_qdq_ste if ste else power_qdq
         return lambda v: f(v, x[qp_key][0], x[qp_key][1], levels)
-    f = qdq_ste if ste else quantize_dequantize
+    f = staircase_qdq_ste if ste else staircase_qdq
     return lambda v: f(v, x[thr_key])
 
 

@@ -1,0 +1,274 @@
+"""QC-structured decode engine: circulant rolls instead of gathers.
+
+For quasi-cyclic codes (every real deployment target: the paper's
+(9472,8192) QC family, 5G NR, DVB-S2), the Tanner graph is a protograph
+expanded by ``lift x lift`` circulant shifts. That structure makes every
+edge permutation in message passing a **circular roll** of a ``[lift, B]``
+block — which XLA lowers to two contiguous slices + a concat, instead of
+the general engine's per-edge gathers. All compute is elementwise VPU work
+over ``[lift, B]`` tiles; there are NO gather/scatter ops anywhere in the
+iteration loop.
+
+Message state is ``v2c[NB, lift, B]`` (NB = nonzero protograph blocks),
+*variable-aligned*: ``v2c[b, u, :]`` is the message from variable
+``col(b)*lift + u`` along block ``b``. Check-aligned views are
+``roll(v2c[b], -shift(b))`` (check ``r`` of row ``row(b)`` connects to
+variable ``(r + shift(b)) % lift`` of col ``col(b)``).
+
+Semantics are IDENTICAL to the general engine (`engine.decode_batch`) —
+same CN min1/min2/first-argmin, leave-one-out sign parity, variant
+transforms, bv-bit quantization, convergence freezing — verified bit-exact
+in tests. Reference behavioral contract: SURVEY.md §2b
+(``ldpc_decoder.py:79-153``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ldpc_tpu.decode.engine import DecodeResult, VariantSpec, _make_qdq, _scan_xs
+
+__all__ = ["QCGraph", "build_qc_graph", "qc_decode_batch"]
+
+_INF = jnp.float32(jnp.inf)
+
+
+@dataclasses.dataclass(frozen=True, eq=False)  # identity hash: static jit arg
+class QCGraph:
+    """Static protograph structure of a QC-lifted code.
+
+    Blocks are ordered row-major over the base matrix — the same (check,
+    var)-major order as ``DecoderGraph`` edges, so per-edge weight-bucket
+    vectors translate to per-block vectors by taking each block's first edge.
+    """
+
+    mb: int          # base rows
+    nb: int          # base cols
+    lift: int
+    num_blocks: int
+    block_row: np.ndarray    # [NB] int32
+    block_col: np.ndarray    # [NB] int32
+    block_shift: np.ndarray  # [NB] int32
+    row_blocks: Tuple[Tuple[int, ...], ...]  # blocks per base row
+    col_blocks: Tuple[Tuple[int, ...], ...]  # blocks per base col
+    # per-block weight-bucket indices (same universes as DecoderGraph)
+    block_dc_bucket: np.ndarray
+    block_dv_bucket: np.ndarray
+    block_dcdv_bucket: np.ndarray
+    unique_dc: Tuple[int, ...]
+    unique_dv: Tuple[int, ...]
+
+    @property
+    def n(self) -> int:
+        return self.nb * self.lift
+
+    @property
+    def m(self) -> int:
+        return self.mb * self.lift
+
+
+def build_qc_graph(base_matrix: np.ndarray, lift: int) -> QCGraph:
+    """Host-side analysis of a protograph (entries: -1 = zero block,
+    s >= 0 = identity right-shifted by s, as ``codes.create_qc_code``)."""
+    B = np.asarray(base_matrix, dtype=np.int64)
+    mb, nb = B.shape
+    rows, cols = np.nonzero(B >= 0)
+    order = np.lexsort((cols, rows))  # row-major over the base matrix
+    rows, cols = rows[order], cols[order]
+    shifts = B[rows, cols] % lift
+
+    row_deg = (B >= 0).sum(axis=1)
+    col_deg = (B >= 0).sum(axis=0)
+    # node degrees in the lifted graph equal base-row/-col degrees
+    unique_dc = tuple(sorted(int(d) for d in np.unique(row_deg[row_deg > 0])))
+    unique_dv = tuple(sorted(int(d) for d in np.unique(col_deg[col_deg > 0])))
+    dc_to_bucket = {d: i for i, d in enumerate(unique_dc)}
+    dv_to_bucket = {d: i for i, d in enumerate(unique_dv)}
+    bdc = np.array([dc_to_bucket[int(row_deg[r])] for r in rows], np.int32)
+    bdv = np.array([dv_to_bucket[int(col_deg[c])] for c in cols], np.int32)
+
+    row_blocks = tuple(
+        tuple(int(b) for b in np.flatnonzero(rows == i)) for i in range(mb))
+    col_blocks = tuple(
+        tuple(int(b) for b in np.flatnonzero(cols == j)) for j in range(nb))
+
+    return QCGraph(
+        mb=mb, nb=nb, lift=lift, num_blocks=len(rows),
+        block_row=rows.astype(np.int32), block_col=cols.astype(np.int32),
+        block_shift=shifts.astype(np.int32),
+        row_blocks=row_blocks, col_blocks=col_blocks,
+        block_dc_bucket=bdc, block_dv_bucket=bdv,
+        block_dcdv_bucket=(bdc * len(unique_dv) + bdv).astype(np.int32),
+        unique_dc=unique_dc, unique_dv=unique_dv,
+    )
+
+
+def _per_block_weights(spec: VariantSpec, qc: QCGraph, t_beta, t_alpha):
+    """Per-block beta/alpha scalars for this iteration ([NB] or scalar).
+
+    The spec's ``beta_idx``/``alpha_idx`` must be per-BLOCK bucket vectors
+    (length NB) — built by ``variants.make_decoder(..., qc=...)``. Degree
+    buckets are block-constant (a block = one protograph edge; every lifted
+    edge shares its (dc, dv)), so sharing types 1-4 translate exactly;
+    per-edge type 0 is not block-constant and uses the general engine.
+    """
+    if spec.beta_idx is not None:
+        assert np.asarray(spec.beta_idx).shape[0] == qc.num_blocks, (
+            "QC decode needs per-block weight wiring; build the decoder "
+            "with make_decoder(..., qc=qc_graph)")
+        beta_b = t_beta[jnp.asarray(spec.beta_idx)]
+    else:
+        beta_b = jnp.float32(spec.fixed_beta)
+    if spec.alpha_idx is not None:
+        alpha_b = t_alpha[jnp.asarray(spec.alpha_idx)]
+    else:
+        alpha_b = jnp.float32(spec.fixed_alpha)
+    return beta_b, alpha_b
+
+
+@partial(jax.jit, static_argnames=("qc", "spec", "max_iterations", "ste",
+                                   "return_trajectory"))
+def qc_decode_batch(
+    llr: jnp.ndarray,            # [B, n]
+    weights,                     # {'beta': [T, n_beta], 'alpha': [T, n_alpha]}
+    *,
+    qc: QCGraph,
+    spec: VariantSpec,
+    max_iterations: int,
+    ste: bool = False,
+    return_trajectory: bool = False,
+) -> DecodeResult:
+    """Flooding decode over the QC structure; contract == decode_batch."""
+    T = max_iterations
+    Bsz = llr.shape[0]
+    L = qc.lift
+    NB = qc.num_blocks
+
+    # [nb, lift, B]: per-base-col LLR tiles
+    llr_T = llr.T.astype(jnp.float32).reshape(qc.nb, L, Bsz)
+
+    shifts = [int(s) for s in qc.block_shift]
+    rows = [int(r) for r in qc.block_row]
+    cols = [int(c) for c in qc.block_col]
+
+    # v2c var-aligned per block
+    v2c0 = jnp.stack([llr_T[cols[b]] for b in range(NB)])  # [NB, L, B]
+
+    def cn_and_vn(v2c, beta_b, alpha_b, qdq, vqdq):
+        """One flooding iteration; returns (v2c', posterior [nb, L, B])."""
+        beta_is_vec = jnp.ndim(beta_b) > 0
+        alpha_is_vec = jnp.ndim(alpha_b) > 0
+
+        # ---- check-node update, per base row ----
+        c2v_va: List[Optional[jnp.ndarray]] = [None] * NB
+        for i in range(qc.mb):
+            blocks = qc.row_blocks[i]
+            # check-aligned magnitudes/signs via rolls
+            ca = [jnp.roll(v2c[b], -shifts[b], axis=0) for b in blocks]
+            mags = [jnp.abs(x) for x in ca]
+            negs = [(x < 0) for x in ca]
+            # running (min1, min2, argmin) across the row's blocks
+            min1 = mags[0]
+            min2 = jnp.full_like(mags[0], _INF)
+            argm = jnp.zeros(mags[0].shape, jnp.int32)
+            for k in range(1, len(blocks)):
+                mk = mags[k]
+                new_min = mk < min1
+                min2 = jnp.where(new_min, min1, jnp.minimum(min2, mk))
+                min1 = jnp.where(new_min, mk, min1)
+                argm = jnp.where(new_min, k, argm)
+            if len(blocks) == 1:
+                min2 = min1  # degree-1 checks (ldpc_decoder.py:112-115)
+            # sign parity
+            neg_cnt = negs[0].astype(jnp.int32)
+            for k in range(1, len(blocks)):
+                neg_cnt = neg_cnt + negs[k].astype(jnp.int32)
+            for k, b in enumerate(blocks):
+                loo_mag = jnp.where(argm == k, min2, min1)
+                loo_neg = (neg_cnt - negs[k].astype(jnp.int32)) & 1
+                loo_sign = 1.0 - 2.0 * loo_neg.astype(jnp.float32)
+                bb = beta_b[b] if beta_is_vec else beta_b
+                ab = alpha_b[b] if alpha_is_vec else alpha_b
+                if spec.kind == "nms":
+                    out = bb * loo_sign * loo_mag
+                elif spec.kind == "oms":
+                    off = jax.nn.relu(loo_mag - bb)
+                    if spec.alpha_in_cn:
+                        off = off - ab
+                    out = loo_sign * off
+                elif spec.kind == "rcq":
+                    out = qdq(loo_sign * loo_mag)
+                else:  # wrcq
+                    out = qdq(bb * loo_sign * loo_mag)
+                c2v_va[b] = jnp.roll(out, shifts[b], axis=0)
+
+        # ---- variable-node update, per base col ----
+        v2c_new = [None] * NB
+        post = [None] * qc.nb
+        for j in range(qc.nb):
+            blocks = qc.col_blocks[j]
+            colsum = c2v_va[blocks[0]]
+            for b in blocks[1:]:
+                colsum = colsum + c2v_va[b]
+            post[j] = llr_T[j] + colsum
+            for b in blocks:
+                ext = colsum - c2v_va[b]
+                ab = alpha_b[b] if alpha_is_vec else alpha_b
+                if spec.alpha_in_cn:
+                    nv = llr_T[j] + ext
+                else:
+                    nv = llr_T[j] + ab * ext
+                if vqdq is not None:
+                    nv = vqdq(nv)
+                v2c_new[b] = nv
+        posterior = jnp.stack(post)  # [nb, L, B]
+        if vqdq is not None:
+            posterior = vqdq(posterior)
+        return jnp.stack(v2c_new), posterior
+
+    def syndrome_ok(bits_blocks):
+        """bits_blocks [nb, L, B] int32 -> [B] all-checks-zero."""
+        ok = jnp.ones((Bsz,), bool)
+        for i in range(qc.mb):
+            blocks = qc.row_blocks[i]
+            par = jnp.zeros((L, Bsz), jnp.int32)
+            for b in blocks:
+                par = par ^ jnp.roll(bits_blocks[cols[b]], -shifts[b], axis=0)
+            ok = ok & ~jnp.any(par > 0, axis=0)
+        return ok
+
+    carry0 = dict(
+        v2c=v2c0,
+        post=llr_T,
+        done=jnp.zeros((Bsz,), bool),
+        iters=jnp.zeros((Bsz,), jnp.int32),
+    )
+
+    def body(carry, x):
+        beta_b, alpha_b = _per_block_weights(spec, qc, x["beta"], x["alpha"])
+        qdq = _make_qdq(spec, x, ste, v2c=False)
+        vqdq = _make_qdq(spec, x, ste, v2c=True)
+        v2c, post = cn_and_vn(carry["v2c"], beta_b, alpha_b, qdq, vqdq)
+        bits = (post < 0).astype(jnp.int32)
+        ok = syndrome_ok(bits)
+        done_prev = carry["done"]
+        post_out = jnp.where(done_prev[None, None, :], carry["post"], post)
+        iters = jnp.where(done_prev, carry["iters"], x["t"] + 1)
+        new = dict(v2c=v2c, post=post_out, done=done_prev | ok, iters=iters)
+        ys = post.reshape(qc.n, Bsz).T if return_trajectory else None
+        return new, ys
+
+    carry, ys = jax.lax.scan(body, carry0, _scan_xs(spec, weights, T))
+    post = carry["post"].reshape(qc.n, Bsz).T  # [B, n]
+    bits = (post < 0).astype(jnp.int32)
+    return DecodeResult(
+        bits=bits, posterior=post, iterations=carry["iters"],
+        success=carry["done"],
+        posteriors_all=ys if return_trajectory else None,
+    )

@@ -49,6 +49,7 @@ from ldpc_tpu.decode.engine import (
     decode_batch_layered,
     make_layers,
 )
+from ldpc_tpu.decode.qc_engine import QCGraph, build_qc_graph, qc_decode_batch
 from ldpc_tpu.quantizer import (
     stack_quantizer_params,
     stack_quantizer_thresholds,
@@ -94,6 +95,36 @@ def _bucket_wiring(graph: DecoderGraph, sharing_type: int, offset_style: bool):
     raise ValueError(f"Invalid weight sharing type: {sharing_type}")
 
 
+def _qc_bucket_wiring(qc: QCGraph, sharing_type: int, offset_style: bool):
+    """Per-BLOCK analogue of :func:`_bucket_wiring` for the QC fast path.
+
+    Bucket universes are identical to the lifted graph's (a lifted node's
+    degree equals its protograph node's degree), so weight tables are
+    interchangeable between the two engines.
+    """
+    n_dc = len(qc.unique_dc)
+    n_dv = len(qc.unique_dv)
+    fixed_beta = 0.0 if offset_style else 0.7
+    fixed_alpha = 0.0 if offset_style else 1.0
+    if sharing_type == 0:
+        raise ValueError(
+            "per-edge (type 0) weights are not block-constant; use the "
+            "general engine for N-NMS/N-OMS on QC codes")
+    if sharing_type == 1:
+        return (qc.block_dcdv_bucket, n_dc * n_dv, None, 0,
+                fixed_beta, fixed_alpha, offset_style)
+    if sharing_type == 2:
+        return (qc.block_dc_bucket, n_dc, qc.block_dv_bucket, n_dv,
+                fixed_beta, fixed_alpha, offset_style)
+    if sharing_type == 3:
+        return (qc.block_dc_bucket, n_dc, None, 0,
+                fixed_beta, fixed_alpha, offset_style)
+    if sharing_type == 4:
+        return (None, 0, qc.block_dv_bucket, n_dv,
+                fixed_beta, fixed_alpha, offset_style)
+    raise ValueError(f"Invalid weight sharing type: {sharing_type}")
+
+
 @dataclasses.dataclass(eq=False)
 class Decoder:
     """A configured decoder: static spec + trainable weights + call surface.
@@ -112,6 +143,7 @@ class Decoder:
     weights: Dict[str, Optional[jnp.ndarray]]
     layered: bool = False
     layer_checks: Optional[np.ndarray] = None
+    qc: Optional[QCGraph] = None  # set -> roll-based QC fast path
 
     def __call__(self, llr: jnp.ndarray, weights=None, *, ste: bool = False,
                  return_trajectory: bool = False) -> DecodeResult:
@@ -124,6 +156,11 @@ class Decoder:
             out = decode_batch_layered(
                 llr, w, self.layer_checks, graph=self.graph, spec=self.spec,
                 max_iterations=self.max_iterations, ste=ste)
+        elif self.qc is not None:
+            out = qc_decode_batch(
+                llr, w, qc=self.qc, spec=self.spec,
+                max_iterations=self.max_iterations, ste=ste,
+                return_trajectory=return_trajectory)
         else:
             out = decode_batch(
                 llr, w, graph=self.graph, spec=self.spec,
@@ -190,6 +227,7 @@ def make_decoder(
     seed: int = 0,
     name: Optional[str] = None,
     graph: Optional[DecoderGraph] = None,
+    qc: Optional[QCGraph] = None,
 ) -> Decoder:
     """Build any decoder variant.
 
@@ -200,11 +238,22 @@ def make_decoder(
     bv: if given (with v2c_quantizer_params or reusing quantizer_params),
         actually quantizes V2C messages and posteriors to bv bits — the
         capability the reference's ``bv`` knob pretends to have (SURVEY §8.5).
+    qc: a :class:`QCGraph` for quasi-cyclic codes — switches decoding to the
+        roll-based QC fast path (no gathers; see ``qc_engine``). Requires
+        sharing types 1-4 or weightless kinds ('ms'/'rcq'); per-edge type 0
+        needs the general engine. Not combinable with ``layered`` (yet).
     """
     if kind not in ("ms", "nms", "oms", "rcq", "wrcq"):
         raise ValueError(
             f"unknown decoder kind {kind!r}; expected one of "
             "'ms', 'nms', 'oms', 'rcq', 'wrcq'")
+    if qc is not None and layered:
+        raise ValueError("QC fast path does not support layered schedules "
+                         "yet; omit qc= for layered decoding")
+    if qc is not None and kind in ("nms", "oms", "wrcq") and \
+            (sharing_type is None or sharing_type == 0):
+        raise ValueError("per-edge (type 0) weights need the general "
+                         "engine; omit qc= or use sharing types 1-4")
     graph = graph if graph is not None else build_graph(code)
     T = max_iterations if max_iterations is not None else code.max_iterations
     key = jax.random.PRNGKey(seed)
@@ -240,9 +289,10 @@ def make_decoder(
         dname = name or f"RCQ(bc={bc})"
     else:
         st = 0 if sharing_type is None else sharing_type
+        wiring = (_qc_bucket_wiring(qc, st, offset_style) if qc is not None
+                  else _bucket_wiring(graph, st, offset_style))
         (beta_idx, n_beta, alpha_idx, n_alpha,
-         fixed_beta, fixed_alpha, alpha_in_cn) = _bucket_wiring(
-            graph, st, offset_style)
+         fixed_beta, fixed_alpha, alpha_in_cn) = wiring
         engine_kind = {"nms": "nms", "oms": "oms", "wrcq": "wrcq"}[kind]
         spec = VariantSpec(
             kind=engine_kind,
@@ -280,7 +330,7 @@ def make_decoder(
     layer_checks = make_layers(graph, num_layers) if layered else None
     return Decoder(
         name=dname, code=code, graph=graph, spec=spec, max_iterations=T,
-        weights=weights, layered=layered, layer_checks=layer_checks)
+        weights=weights, layered=layered, layer_checks=layer_checks, qc=qc)
 
 
 # -- reference-parity constructors -----------------------------------------

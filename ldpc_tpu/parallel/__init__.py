@@ -1,0 +1,7 @@
+from ldpc_tpu.parallel.mesh import (
+    batch_sharding,
+    distributed_init,
+    make_mesh,
+    replicated,
+)
+from ldpc_tpu.parallel.montecarlo import make_spmd_wave_fn

@@ -36,6 +36,8 @@ __all__ = [
     "qdq_ste",
     "power_qdq",
     "power_qdq_ste",
+    "staircase_qdq",
+    "staircase_qdq_ste",
     "phase_schedule",
     "stack_quantizer_params",
     "stack_quantizer_thresholds",
@@ -126,6 +128,37 @@ def qdq_ste(x: jnp.ndarray, thresholds: jnp.ndarray) -> jnp.ndarray:
     C = thresholds[..., -1]
     clipped = jnp.clip(x, -C, C)
     return clipped + jax.lax.stop_gradient(quantize_dequantize(x, thresholds) - clipped)
+
+
+def staircase_qdq(x: jnp.ndarray, thresholds: jnp.ndarray) -> jnp.ndarray:
+    """Exact quantize∘dequantize for SMALL threshold LUTs as a staircase sum:
+
+        qdq(x) = sign(x) * sum_j (|x| >= tau_j) * (tau_j - tau_{j-1})
+
+    Bit-identical to ``quantize_dequantize`` (inclusive ``>=`` compare,
+    snap-down-to-threshold, tau_0 = 0) but with no index computation and no
+    gather — just L-1 compares and fused multiply-adds, which XLA fuses
+    straight into the surrounding decode kernel. Intended for the bc-bit C2V
+    LUTs (L = 2^(bc-1) <= 16); cost grows linearly in L, so large LUTs
+    should use :func:`power_qdq` instead.
+
+    ``thresholds`` is a rank-1 [L] array (may be traced per-iteration).
+    """
+    mag = jnp.abs(x)
+    L = thresholds.shape[-1]
+    snapped = jnp.zeros_like(mag)
+    for j in range(1, L):
+        step = thresholds[j] - thresholds[j - 1]
+        snapped = snapped + jnp.where(mag >= thresholds[j], step, 0.0)
+    return jnp.where(x < 0, -snapped, snapped)
+
+
+def staircase_qdq_ste(x: jnp.ndarray, thresholds: jnp.ndarray) -> jnp.ndarray:
+    """STE companion of :func:`staircase_qdq` (see :func:`qdq_ste`)."""
+    C = thresholds[..., -1]
+    clipped = jnp.clip(x, -C, C)
+    return clipped + jax.lax.stop_gradient(
+        staircase_qdq(x, thresholds) - clipped)
 
 
 def power_qdq(x: jnp.ndarray, C, gamma, levels: int) -> jnp.ndarray:

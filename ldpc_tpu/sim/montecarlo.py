@@ -131,23 +131,20 @@ def _make_wave_fn(decoder: Decoder, wave_size: int, mesh=None):
     All-zero codewords are transmitted (``simulation_framework.py:107``), so
     any decoded 1-bit is an error. The whole wave — channel, decode, error
     reduction — is one XLA program; only four scalars leave the device.
-    """
-    n = decoder.code.n
-    graph, spec, T = decoder.graph, decoder.spec, decoder.max_iterations
-    from ldpc_tpu.decode.engine import decode_batch, decode_batch_layered
 
-    layer_checks = decoder.layer_checks
+    With a mesh, the SPMD shard_map path is used instead (per-device RNG,
+    psum'd counters — ``ldpc_tpu.parallel.make_spmd_wave_fn``).
+    """
+    if mesh is not None:
+        from ldpc_tpu.parallel.montecarlo import make_spmd_wave_fn
+        return make_spmd_wave_fn(decoder, wave_size, mesh)
+
+    n = decoder.code.n
 
     def wave(key, snr_db, weights):
         zeros = jnp.zeros((wave_size, n), jnp.float32)
         llr = awgn_llr(key, zeros, snr_db)
-        if decoder.layered:
-            out = decode_batch_layered(
-                llr, weights, layer_checks, graph=graph, spec=spec,
-                max_iterations=T)
-        else:
-            out = decode_batch(llr, weights, graph=graph, spec=spec,
-                               max_iterations=T)
+        out = decoder(llr, weights)
         bit_err_per_frame = jnp.sum(out.bits, axis=-1)        # wrong bits
         frame_err = jnp.sum(bit_err_per_frame > 0)
         bit_err = jnp.sum(bit_err_per_frame)
@@ -155,27 +152,6 @@ def _make_wave_fn(decoder: Decoder, wave_size: int, mesh=None):
         succ = jnp.sum(out.success)
         return frame_err, bit_err, iter_sum, succ
 
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        batch_sharding = NamedSharding(mesh, P("batch"))
-        repl = NamedSharding(mesh, P())
-
-        def sharded_wave(key, snr_db, weights):
-            zeros = jnp.zeros((wave_size, n), jnp.float32)
-            llr = awgn_llr(key, zeros, snr_db)
-            llr = jax.lax.with_sharding_constraint(llr, batch_sharding)
-            if decoder.layered:
-                out = decode_batch_layered(
-                    llr, weights, layer_checks, graph=graph, spec=spec,
-                    max_iterations=T)
-            else:
-                out = decode_batch(llr, weights, graph=graph, spec=spec,
-                                   max_iterations=T)
-            bit_err_per_frame = jnp.sum(out.bits, axis=-1)
-            return (jnp.sum(bit_err_per_frame > 0), jnp.sum(bit_err_per_frame),
-                    jnp.sum(out.iterations), jnp.sum(out.success))
-
-        return jax.jit(sharded_wave, out_shardings=(repl, repl, repl, repl))
     return jax.jit(wave)
 
 

@@ -46,8 +46,7 @@ class GradientExplosionAnalyzer:
             w.update(tr)
             loss, _ = posterior_joint_loss(
                 w, one_llr[None], jnp.zeros_like(one_llr)[None],
-                graph=dec.graph, spec=dec.spec,
-                max_iterations=dec.max_iterations, joint=joint)
+                decoder=dec, joint=joint)
             return loss
 
         grad_fn = jax.vmap(jax.grad(single_loss), in_axes=(None, 0))

@@ -38,7 +38,6 @@ import numpy as np
 import optax
 
 from ldpc_tpu.channel import awgn_llr
-from ldpc_tpu.decode.engine import decode_batch
 from ldpc_tpu.decode.variants import Decoder
 
 logger = logging.getLogger(__name__)
@@ -67,9 +66,7 @@ def posterior_joint_loss(
     llr: jnp.ndarray,        # [B, n]
     targets: jnp.ndarray,    # [B, n] bits
     *,
-    graph,
-    spec,
-    max_iterations: int,
+    decoder: Decoder,
     joint: bool,
 ):
     """BCE-with-logits on the negated posterior (reference
@@ -80,17 +77,16 @@ def posterior_joint_loss(
     every iteration's posterior (the paper's posterior joint loss);
     ``joint=False`` uses the final posterior only.
 
-    Returns (loss, aux) with aux = (final posterior, bit accuracy).
+    Dispatches through the decoder (general / QC fast path; STE through
+    quantizers). Returns (loss, aux) with aux = (final posterior, accuracy).
     """
-    out = decode_batch(llr, weights, graph=graph, spec=spec,
-                       max_iterations=max_iterations, ste=True,
-                       return_trajectory=joint)
+    out = decoder(llr, weights, ste=True, return_trajectory=joint)
     targets = targets.astype(jnp.float32)
-    if joint:
+    if joint and out.posteriors_all is not None:
         # posteriors_all: [T, B, n] — every iteration contributes
         bce = optax.sigmoid_binary_cross_entropy(
             -out.posteriors_all, targets[None])
-    else:
+    else:  # final-posterior-only (also layered decoders: no trajectory)
         bce = optax.sigmoid_binary_cross_entropy(-out.posterior, targets)
     loss = jnp.mean(bce)
     acc = jnp.mean((out.bits == targets.astype(jnp.int32)).astype(jnp.float32))
@@ -143,10 +139,8 @@ class PosteriorJointTrainer:
 
     def _build_train_step(self):
         dec, cfg = self.decoder, self.config
-        loss_fn = partial(
-            posterior_joint_loss, graph=dec.graph, spec=dec.spec,
-            max_iterations=dec.max_iterations,
-            joint=cfg.use_posterior_training)
+        loss_fn = partial(posterior_joint_loss, decoder=dec,
+                          joint=cfg.use_posterior_training)
 
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -174,10 +168,8 @@ class PosteriorJointTrainer:
 
     def _build_eval_step(self):
         dec, cfg = self.decoder, self.config
-        loss_fn = partial(
-            posterior_joint_loss, graph=dec.graph, spec=dec.spec,
-            max_iterations=dec.max_iterations,
-            joint=cfg.use_posterior_training)
+        loss_fn = partial(posterior_joint_loss, decoder=dec,
+                          joint=cfg.use_posterior_training)
 
         def step(trainable, llr, targets):
             loss, (_, acc) = loss_fn(self._merged(trainable), llr, targets)

@@ -1,0 +1,72 @@
+"""Multi-device (8 virtual CPU) tests for the parallel package."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import ldpc_tpu
+from ldpc_tpu.parallel import make_mesh, make_spmd_wave_fn
+from ldpc_tpu.sim import LDPCSimulator, SimulationConfig
+
+
+def test_make_mesh():
+    mesh = make_mesh(8)
+    assert mesh.size == 8 and mesh.axis_names == ("batch",)
+    with pytest.raises(ValueError):
+        make_mesh(10**6)
+
+
+def test_spmd_wave_counts(test_code):
+    mesh = make_mesh(8)
+    dec = ldpc_tpu.basic_min_sum(test_code, max_iterations=8)
+    wave = make_spmd_wave_fn(dec, wave_size=1024, mesh=mesh)
+    fe, be, it, ok = wave(jax.random.PRNGKey(0), jnp.float32(8.0),
+                          dec.weights)
+    # every unconverged frame is a frame error (the all-zero word always
+    # satisfies the syndrome); converged-but-wrong = undetected error
+    assert int(fe) >= 1024 - int(ok)
+    assert 0 <= int(be) <= int(fe) * test_code.n
+    assert 1024 <= int(it) <= 1024 * 8
+
+
+def test_spmd_wave_rejects_indivisible(test_code):
+    mesh = make_mesh(8)
+    dec = ldpc_tpu.basic_min_sum(test_code)
+    with pytest.raises(ValueError):
+        make_spmd_wave_fn(dec, wave_size=1023, mesh=mesh)
+
+
+def test_spmd_statistics_match_single_device(mid_code):
+    """Pooled FER from an 8-device mesh must statistically match the
+    single-device simulator (same decoder, same stopping rules) — the
+    1-vs-N-device equivalence contract (SURVEY §4)."""
+    dec = ldpc_tpu.basic_min_sum(mid_code, max_iterations=15)
+    cfg = SimulationConfig(snr_range=(2.0, 2.0), snr_step=1.0,
+                           max_frames=4096, max_errors=10**9, min_frames=0,
+                           wave_size=2048)
+    fer_1 = LDPCSimulator(cfg).simulate_decoder(
+        dec, verbose=False).frame_error_rates[0]
+    fer_8 = LDPCSimulator(cfg, mesh=make_mesh(8)).simulate_decoder(
+        dec, verbose=False).frame_error_rates[0]
+    assert fer_1 > 0 and fer_8 > 0
+    # same decoder/stopping, independent noise: agree within MC error
+    se = (fer_1 * (1 - fer_1) / 4096) ** 0.5
+    assert abs(fer_1 - fer_8) < 6 * se + 0.02
+
+
+def test_spmd_wave_qc_decoder():
+    """shard_map wave through the QC fast path."""
+    from ldpc_tpu.decode.qc_engine import build_qc_graph
+
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 16, size=(2, 6))
+    code = ldpc_tpu.create_qc_code(base, lift=16, max_iterations=6)
+    qc = build_qc_graph(base, 16)
+    dec = ldpc_tpu.make_decoder(code, kind="rcq", bc=3, qc=qc,
+                                max_iterations=6)
+    mesh = make_mesh(8)
+    wave = make_spmd_wave_fn(dec, wave_size=256, mesh=mesh)
+    fe, be, it, ok = wave(jax.random.PRNGKey(1), jnp.float32(6.0),
+                          dec.weights)
+    assert int(fe) >= 256 - int(ok)  # unconverged => frame error

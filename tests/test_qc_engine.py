@@ -1,0 +1,125 @@
+"""QC roll-based engine vs the general gather engine: bit-exact parity.
+
+The QC fast path (ldpc_tpu/decode/qc_engine.py) must produce IDENTICAL
+results to the general engine on the same lifted code — same CN
+min1/min2/first-argmin semantics, leave-one-out parity, variant transforms,
+quantization, convergence freezing.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import ldpc_tpu
+from ldpc_tpu.channel import awgn_llr
+from ldpc_tpu.decode.qc_engine import build_qc_graph
+
+
+def _base(mb, nb, lift, seed=0, density=1.0):
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, lift, size=(mb, nb))
+    if density < 1.0:
+        mask = rng.random((mb, nb)) < (1.0 - density)
+        base = np.where(mask, -1, base)
+        # every row/col needs >= 1 block
+        for i in range(mb):
+            if (base[i] >= 0).sum() == 0:
+                base[i, rng.integers(nb)] = rng.integers(lift)
+        for j in range(nb):
+            if (base[:, j] >= 0).sum() == 0:
+                base[rng.integers(mb), j] = rng.integers(lift)
+    return base
+
+
+def _pair(base, lift, T, **kw):
+    """(general, qc) decoders with identical weights."""
+    code = ldpc_tpu.create_qc_code(base, lift=lift, max_iterations=T)
+    qc = build_qc_graph(base, lift)
+    gen = ldpc_tpu.make_decoder(code, max_iterations=T, **kw)
+    fast = ldpc_tpu.make_decoder(code, max_iterations=T, qc=qc, **kw)
+    # same weight tables (bucket universes are identical by construction)
+    fast.weights = gen.weights
+    return gen, fast
+
+
+T = 6
+
+
+@pytest.mark.parametrize("kw", [
+    dict(kind="ms", factor=0.7),
+    dict(kind="nms", sharing_type=1, seed=3, init="nms"),
+    dict(kind="nms", sharing_type=2, seed=1, init="nms"),
+    dict(kind="nms", sharing_type=3, seed=2, init="nms"),
+    dict(kind="nms", sharing_type=4, seed=4, init="nms"),
+    dict(kind="oms", sharing_type=2, seed=5),
+    dict(kind="rcq", bc=3,
+         quantizer_params=((3.0, 1.3), (5.0, 1.3), (7.0, 1.3))),
+    dict(kind="rcq", bc=3, bv=8,
+         quantizer_params=((3.0, 1.3), (5.0, 1.3), (7.0, 1.3))),
+    dict(kind="wrcq", bc=4, sharing_type=2, seed=6, init="nms"),
+])
+def test_qc_matches_general(kw):
+    base = _base(3, 8, 16, seed=0, density=0.8)
+    gen, fast = _pair(base, 16, T, **kw)
+    llr = awgn_llr(jax.random.PRNGKey(7),
+                   jnp.zeros((32, gen.code.n)), 2.5)
+    a = gen(llr)
+    b = fast(llr)
+    np.testing.assert_array_equal(np.asarray(a.bits), np.asarray(b.bits))
+    np.testing.assert_array_equal(np.asarray(a.success),
+                                  np.asarray(b.success))
+    np.testing.assert_array_equal(np.asarray(a.iterations),
+                                  np.asarray(b.iterations))
+    np.testing.assert_allclose(np.asarray(a.posterior),
+                               np.asarray(b.posterior), rtol=1e-5, atol=1e-5)
+
+
+def test_qc_full_base_matrix():
+    """All-blocks-present protograph (the bench code's shape)."""
+    base = _base(2, 6, 32, seed=1, density=1.0)
+    gen, fast = _pair(base, 32, T, kind="rcq", bc=3, bv=8)
+    llr = awgn_llr(jax.random.PRNGKey(0), jnp.zeros((16, gen.code.n)), 6.0)
+    a, b = gen(llr), fast(llr)
+    np.testing.assert_array_equal(np.asarray(a.bits), np.asarray(b.bits))
+    np.testing.assert_array_equal(np.asarray(a.iterations),
+                                  np.asarray(b.iterations))
+
+
+def test_qc_trajectory_and_training():
+    """QC path supports return_trajectory and STE training."""
+    from ldpc_tpu.train import PosteriorJointTrainer, TrainingConfig
+
+    base = _base(2, 6, 16, seed=2)
+    code = ldpc_tpu.create_qc_code(base, lift=16, max_iterations=4)
+    qc = build_qc_graph(base, 16)
+    dec = ldpc_tpu.make_decoder(code, kind="wrcq", sharing_type=2, bc=3,
+                                max_iterations=4, qc=qc, init="nms")
+    out = dec(jnp.ones((8, code.n)), return_trajectory=True)
+    assert out.posteriors_all.shape == (4, 8, code.n)
+    tr = PosteriorJointTrainer(
+        dec, TrainingConfig(batch_size=16, num_epochs=1, snr_range=(1, 4)))
+    hist = tr.train(num_samples=32, verbose=False)
+    assert np.isfinite(hist["training_losses"]).all()
+    assert hist["gradient_norms"][0] > 0
+
+
+def test_qc_rejects_unsupported():
+    base = _base(2, 4, 8)
+    code = ldpc_tpu.create_qc_code(base, lift=8, max_iterations=4)
+    qc = build_qc_graph(base, 8)
+    with pytest.raises(ValueError):
+        ldpc_tpu.make_decoder(code, kind="nms", sharing_type=0, qc=qc)
+    with pytest.raises(ValueError):
+        ldpc_tpu.make_decoder(code, kind="rcq", qc=qc, layered=True)
+
+
+def test_qc_noiseless_identity():
+    base = _base(3, 9, 24, seed=3, density=0.7)
+    code = ldpc_tpu.create_qc_code(base, lift=24, max_iterations=8)
+    qc = build_qc_graph(base, 24)
+    dec = ldpc_tpu.make_decoder(code, kind="ms", qc=qc, max_iterations=8)
+    out = dec(jnp.full((4, code.n), 7.5))
+    assert bool(jnp.all(out.success))
+    assert int(out.bits.sum()) == 0
+    assert out.iterations.tolist() == [1, 1, 1, 1]

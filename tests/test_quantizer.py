@@ -134,3 +134,29 @@ def test_power_qdq_matches_lut():
         assert np.all(np.abs(lut_idx - fast_idx) <= 1)
         np.testing.assert_array_equal(np.signbit(lut), np.signbit(fast))
         np.testing.assert_allclose(fast[~on_thr], lut[~on_thr], rtol=1e-6)
+
+
+def test_staircase_qdq_bit_exact_with_lut():
+    """staircase_qdq must be bit-identical to the LUT quantize∘dequantize
+    (it reconstructs the same float32 threshold values by summing exact
+    differences)."""
+    import jax.numpy as jnp
+    from ldpc_tpu.quantizer import (power_thresholds, quantize_dequantize,
+                                    staircase_qdq)
+
+    rng = np.random.default_rng(1)
+    for bc, C, gamma in [(2, 2.0, 1.0), (3, 5.0, 1.3), (4, 7.0, 1.5),
+                         (5, 10.0, 2.0)]:
+        thr = jnp.asarray(power_thresholds(bc, C, gamma))
+        x = np.concatenate([
+            rng.normal(0, C, size=4000),
+            np.asarray(thr), -np.asarray(thr),
+            np.asarray([0.0, -0.0, C * 2, -C * 2, 1e-12]),
+        ]).astype(np.float32)
+        a = np.asarray(quantize_dequantize(jnp.asarray(x), thr))
+        b = np.asarray(staircase_qdq(jnp.asarray(x), thr))
+        # identical up to accumulated step rounding: steps are exact f32
+        # differences of f32 thresholds, so the sum telescopes exactly
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-6)
+        mism = np.abs(a - b) > 0
+        assert mism.mean() < 0.01, f"bc={bc}: {mism.sum()} mismatches"
