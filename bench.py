@@ -23,27 +23,29 @@ def main():
 
     import ldpc_tpu
     from ldpc_tpu.channel import awgn_llr
-    from ldpc_tpu.decode.engine import decode_batch
+    from ldpc_tpu.decode.qc_engine import build_qc_graph, qc_decode_batch
 
-    # QC code with the paper's (9472, 8192) dimensions: 5x37 base, lift 256
+    # QC code with the paper's (9472, 8192) dimensions: 5x37 base, lift 256;
+    # decoded through the roll-based QC fast path (qc_engine.py)
     rng = np.random.default_rng(0)
     base = rng.integers(0, 256, size=(5, 37))
     code = ldpc_tpu.create_qc_code(base, lift=256, max_iterations=10)
-    dec = ldpc_tpu.rcq_min_sum(
-        code, bc=3, bv=8,
+    qc = build_qc_graph(base, 256)
+    dec = ldpc_tpu.make_decoder(
+        code, kind="rcq", bc=3, bv=8,
         quantizer_params=((3.0, 1.3), (5.0, 1.3), (7.0, 1.3)),
-        max_iterations=10)
+        max_iterations=10, qc=qc)
 
-    B = 2048
-    snr_db = 4.5
+    B = 4096
+    snr_db = 7.0  # operating point of this (5,37)-regular rate-0.865 code
     key = jax.random.PRNGKey(0)
     zeros = jnp.zeros((B, code.n), jnp.float32)
 
     @jax.jit
     def wave(key):
         llr = awgn_llr(key, zeros, snr_db)
-        out = decode_batch(llr, dec.weights, graph=dec.graph, spec=dec.spec,
-                           max_iterations=dec.max_iterations)
+        out = qc_decode_batch(llr, dec.weights, qc=qc, spec=dec.spec,
+                              max_iterations=dec.max_iterations)
         return jnp.sum(out.bits), jnp.sum(out.iterations)
 
     # warmup / compile

@@ -133,7 +133,8 @@ def _per_block_weights(spec: VariantSpec, qc: QCGraph, t_beta, t_alpha):
 
 
 @partial(jax.jit, static_argnames=("qc", "spec", "max_iterations", "ste",
-                                   "return_trajectory"))
+                                   "return_trajectory", "check_every",
+                                   "dtype", "unroll"))
 def qc_decode_batch(
     llr: jnp.ndarray,            # [B, n]
     weights,                     # {'beta': [T, n_beta], 'alpha': [T, n_alpha]}
@@ -143,15 +144,30 @@ def qc_decode_batch(
     max_iterations: int,
     ste: bool = False,
     return_trajectory: bool = False,
+    check_every: int = 1,
+    dtype=jnp.float32,
+    unroll: bool = False,
 ) -> DecodeResult:
-    """Flooding decode over the QC structure; contract == decode_batch."""
+    """Flooding decode over the QC structure; contract == decode_batch.
+
+    ``check_every``: amortize the syndrome check over chunks of that many
+    iterations (must divide T). Final bits/success are unaffected; the
+    per-frame ``iterations`` stat and output freezing round up to the chunk
+    boundary. ``dtype``: message/posterior storage type (bfloat16 halves
+    HBM traffic; hard decisions and syndrome stay exact). ``unroll``:
+    unroll the intra-chunk scan — XLA fuses across iterations (~1.5x
+    runtime) at the cost of a much larger graph to compile; the persistent
+    compilation cache makes that a one-time cost per config.
+    """
     T = max_iterations
+    if T % check_every:
+        raise ValueError(f"check_every={check_every} must divide T={T}")
     Bsz = llr.shape[0]
     L = qc.lift
     NB = qc.num_blocks
 
     # [nb, lift, B]: per-base-col LLR tiles
-    llr_T = llr.T.astype(jnp.float32).reshape(qc.nb, L, Bsz)
+    llr_T = llr.T.astype(dtype).reshape(qc.nb, L, Bsz)
 
     shifts = [int(s) for s in qc.block_shift]
     rows = [int(r) for r in qc.block_row]
@@ -206,7 +222,7 @@ def qc_decode_batch(
                     out = qdq(loo_sign * loo_mag)
                 else:  # wrcq
                     out = qdq(bb * loo_sign * loo_mag)
-                c2v_va[b] = jnp.roll(out, shifts[b], axis=0)
+                c2v_va[b] = jnp.roll(out.astype(v2c.dtype), shifts[b], axis=0)
 
         # ---- variable-node update, per base col ----
         v2c_new = [None] * NB
@@ -226,11 +242,11 @@ def qc_decode_batch(
                     nv = llr_T[j] + ab * ext
                 if vqdq is not None:
                     nv = vqdq(nv)
-                v2c_new[b] = nv
+                v2c_new[b] = nv.astype(v2c.dtype)
         posterior = jnp.stack(post)  # [nb, L, B]
         if vqdq is not None:
             posterior = vqdq(posterior)
-        return jnp.stack(v2c_new), posterior
+        return jnp.stack(v2c_new), posterior.astype(v2c.dtype)
 
     def syndrome_ok(bits_blocks):
         """bits_blocks [nb, L, B] int32 -> [B] all-checks-zero."""
@@ -250,21 +266,43 @@ def qc_decode_batch(
         iters=jnp.zeros((Bsz,), jnp.int32),
     )
 
-    def body(carry, x):
-        beta_b, alpha_b = _per_block_weights(spec, qc, x["beta"], x["alpha"])
-        qdq = _make_qdq(spec, x, ste, v2c=False)
-        vqdq = _make_qdq(spec, x, ste, v2c=True)
-        v2c, post = cn_and_vn(carry["v2c"], beta_b, alpha_b, qdq, vqdq)
+    k = check_every
+    xs = _scan_xs(spec, weights, T)
+    if k > 1:  # chunk the per-iteration inputs: [T, ...] -> [T//k, k, ...]
+        xs = jax.tree_util.tree_map(
+            lambda a: a.reshape((T // k, k) + a.shape[1:]), xs)
+
+    def body(carry, xc):
+        # inner scan over the chunk's k iterations: the compiled graph stays
+        # single-iteration-sized regardless of check_every (remote-compile
+        # latency scales with graph size)
+        def inner(state, x):
+            v2c, _ = state
+            beta_b, alpha_b = _per_block_weights(spec, qc, x["beta"],
+                                                 x["alpha"])
+            qdq = _make_qdq(spec, x, ste, v2c=False)
+            vqdq = _make_qdq(spec, x, ste, v2c=True)
+            v2c, post = cn_and_vn(v2c, beta_b, alpha_b, qdq, vqdq)
+            ys = post.reshape(qc.n, Bsz).T if return_trajectory else None
+            return (v2c, post), ys
+
+        xc_stacked = (xc if k > 1 else
+                      jax.tree_util.tree_map(lambda a: a[None], xc))
+        (v2c, post), posts = jax.lax.scan(
+            inner, (carry["v2c"], carry["post"]), xc_stacked,
+            unroll=k if unroll else 1)
+        t_last = (x := xc)["t"] if k == 1 else xc["t"][-1]
         bits = (post < 0).astype(jnp.int32)
         ok = syndrome_ok(bits)
         done_prev = carry["done"]
         post_out = jnp.where(done_prev[None, None, :], carry["post"], post)
-        iters = jnp.where(done_prev, carry["iters"], x["t"] + 1)
+        iters = jnp.where(done_prev, carry["iters"], t_last + 1)
         new = dict(v2c=v2c, post=post_out, done=done_prev | ok, iters=iters)
-        ys = post.reshape(qc.n, Bsz).T if return_trajectory else None
-        return new, ys
+        return new, posts
 
-    carry, ys = jax.lax.scan(body, carry0, _scan_xs(spec, weights, T))
+    carry, ys = jax.lax.scan(body, carry0, xs)
+    if return_trajectory:  # [T//k, k, B, n] -> [T, B, n]
+        ys = ys.reshape((T,) + ys.shape[2:])
     post = carry["post"].reshape(qc.n, Bsz).T  # [B, n]
     bits = (post < 0).astype(jnp.int32)
     return DecodeResult(

@@ -123,3 +123,50 @@ def test_qc_noiseless_identity():
     assert bool(jnp.all(out.success))
     assert int(out.bits.sum()) == 0
     assert out.iterations.tolist() == [1, 1, 1, 1]
+
+
+def test_qc_check_every_statistically_equivalent():
+    """check_every amortizes the syndrome over chunks. Freezing granularity
+    changes (a frame that converges mid-chunk is sampled at the chunk end),
+    so outputs are not bit-identical — but error statistics must agree and
+    iteration counts land on chunk boundaries."""
+    from ldpc_tpu.decode.qc_engine import qc_decode_batch
+
+    base = _base(3, 8, 16, seed=0, density=0.8)
+    code = ldpc_tpu.create_qc_code(base, lift=16, max_iterations=8)
+    qc = build_qc_graph(base, 16)
+    dec = ldpc_tpu.make_decoder(code, kind="rcq", bc=4, qc=qc,
+                                max_iterations=8)
+    llr = awgn_llr(jax.random.PRNGKey(3), jnp.zeros((512, code.n)), 3.0)
+    a = qc_decode_batch(llr, dec.weights, qc=qc, spec=dec.spec,
+                        max_iterations=8)
+    b = qc_decode_batch(llr, dec.weights, qc=qc, spec=dec.spec,
+                        max_iterations=8, check_every=4)
+    fer_a = float(jnp.mean(jnp.any(a.bits != 0, axis=1)))
+    fer_b = float(jnp.mean(jnp.any(b.bits != 0, axis=1)))
+    assert abs(fer_a - fer_b) < 0.04
+    ib = np.asarray(b.iterations)
+    assert set(np.unique(ib)) <= {4, 8}
+    assert abs(float(jnp.mean(a.success)) - float(jnp.mean(b.success))) < 0.04
+    with pytest.raises(ValueError):
+        qc_decode_batch(llr, dec.weights, qc=qc, spec=dec.spec,
+                        max_iterations=8, check_every=3)
+
+
+def test_qc_bfloat16_close_to_f32():
+    from ldpc_tpu.decode.qc_engine import qc_decode_batch
+
+    base = _base(3, 8, 16, seed=1, density=0.8)
+    code = ldpc_tpu.create_qc_code(base, lift=16, max_iterations=8)
+    qc = build_qc_graph(base, 16)
+    dec = ldpc_tpu.make_decoder(code, kind="ms", qc=qc, max_iterations=8)
+    llr = awgn_llr(jax.random.PRNGKey(5), jnp.zeros((256, code.n)), 3.5)
+    a = qc_decode_batch(llr, dec.weights, qc=qc, spec=dec.spec,
+                        max_iterations=8)
+    b = qc_decode_batch(llr, dec.weights, qc=qc, spec=dec.spec,
+                        max_iterations=8, dtype=jnp.bfloat16)
+    assert b.posterior.dtype == jnp.bfloat16
+    fer_a = float(jnp.mean(jnp.any(a.bits != 0, axis=1)))
+    fer_b = float(jnp.mean(jnp.any(b.bits != 0, axis=1)))
+    # bf16 messages: FER statistically indistinguishable at this scale
+    assert abs(fer_a - fer_b) < 0.05
