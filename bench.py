@@ -19,6 +19,10 @@ import numpy as np
 
 def main():
     import jax
+
+    from ldpc_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     import jax.numpy as jnp
 
     import ldpc_tpu

@@ -1,3 +1,4 @@
+from ldpc_tpu.utils.cache import enable_compilation_cache
 from ldpc_tpu.utils.checkpoint import (
     load_checkpoint,
     load_trainer_checkpoint,
