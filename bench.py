@@ -40,7 +40,7 @@ def main():
         quantizer_params=((3.0, 1.3), (5.0, 1.3), (7.0, 1.3)),
         max_iterations=10, qc=qc)
 
-    B = 4096
+    B = 8192
     snr_db = 7.0  # operating point of this (5,37)-regular rate-0.865 code
     key = jax.random.PRNGKey(0)
     zeros = jnp.zeros((B, code.n), jnp.float32)
@@ -49,7 +49,9 @@ def main():
     def wave(key):
         llr = awgn_llr(key, zeros, snr_db)
         out = qc_decode_batch(llr, dec.weights, qc=qc, spec=dec.spec,
-                              max_iterations=dec.max_iterations)
+                              max_iterations=dec.max_iterations,
+                              check_every=10, dtype=jnp.bfloat16,
+                              unroll=True)
         return jnp.sum(out.bits), jnp.sum(out.iterations)
 
     # warmup / compile
