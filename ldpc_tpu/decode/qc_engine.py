@@ -34,7 +34,8 @@ import numpy as np
 
 from ldpc_tpu.decode.engine import DecodeResult, VariantSpec, _make_qdq, _scan_xs
 
-__all__ = ["QCGraph", "build_qc_graph", "qc_decode_batch"]
+__all__ = ["QCGraph", "build_qc_graph", "qc_decode_batch",
+           "qc_decode_batch_layered"]
 
 _INF = jnp.float32(jnp.inf)
 
@@ -310,3 +311,140 @@ def qc_decode_batch(
         success=carry["done"],
         posteriors_all=ys if return_trajectory else None,
     )
+
+
+@partial(jax.jit, static_argnames=("qc", "spec", "max_iterations", "ste",
+                                   "dtype"))
+def qc_decode_batch_layered(
+    llr: jnp.ndarray,            # [B, n]
+    weights,
+    *,
+    qc: QCGraph,
+    spec: VariantSpec,
+    max_iterations: int,
+    ste: bool = False,
+    dtype=jnp.float32,
+) -> DecodeResult:
+    """Layered-schedule QC decode: base rows are the natural layers.
+
+    Correct layered semantics (what the reference's ``_decode_layered``
+    intended before zeroing its own message memory, ``rcq_decoder.py:
+    281-350`` / SURVEY §8.3): persistent per-block c2v memory, an
+    incrementally-maintained per-column sum, fresh v2c formed from the
+    *current* posterior state layer by layer. Each base row's ``lift``
+    checks update in parallel (they share no variable within a block
+    column), so a layer is one fused roll+min-tree pass — the classic
+    row-layered hardware schedule, vectorized.
+
+    The bv-bit quantizer applies to the posterior at iteration end (same
+    as ``decode_batch_layered``); contract otherwise matches
+    ``qc_decode_batch``.
+    """
+    T = max_iterations
+    Bsz = llr.shape[0]
+    L = qc.lift
+    NB = qc.num_blocks
+
+    llr_T = llr.T.astype(dtype).reshape(qc.nb, L, Bsz)
+    shifts = [int(s) for s in qc.block_shift]
+    cols = [int(c) for c in qc.block_col]
+
+    def one_iteration(c2v, colsum, x):
+        beta_b, alpha_b = _per_block_weights(spec, qc, x["beta"], x["alpha"])
+        beta_is_vec = jnp.ndim(beta_b) > 0
+        alpha_is_vec = jnp.ndim(alpha_b) > 0
+        qdq = _make_qdq(spec, x, ste, v2c=False)
+        vqdq = _make_qdq(spec, x, ste, v2c=True)
+
+        c2v_list = [c2v[b] for b in range(NB)]
+        colsum_list = [colsum[j] for j in range(qc.nb)]
+        for i in range(qc.mb):
+            blocks = qc.row_blocks[i]
+            # fresh v2c from current posterior state, check-aligned
+            ca = []
+            for b in blocks:
+                j = cols[b]
+                ab = alpha_b[b] if alpha_is_vec else alpha_b
+                ext = colsum_list[j] - c2v_list[b]
+                if spec.alpha_in_cn:
+                    nv = llr_T[j] + ext
+                else:
+                    nv = llr_T[j] + ab * ext
+                ca.append(jnp.roll(nv.astype(jnp.float32), -shifts[b],
+                                   axis=0))
+            mags = [jnp.abs(v) for v in ca]
+            min1 = mags[0]
+            min2 = jnp.full_like(min1, _INF)
+            argm = jnp.zeros(min1.shape, jnp.int32)
+            for k in range(1, len(blocks)):
+                mk = mags[k]
+                new_min = mk < min1
+                min2 = jnp.where(new_min, min1, jnp.minimum(min2, mk))
+                min1 = jnp.where(new_min, mk, min1)
+                argm = jnp.where(new_min, k, argm)
+            if len(blocks) == 1:
+                min2 = min1
+            neg_cnt = (ca[0] < 0).astype(jnp.int32)
+            for k in range(1, len(blocks)):
+                neg_cnt = neg_cnt + (ca[k] < 0).astype(jnp.int32)
+            for k, b in enumerate(blocks):
+                loo_mag = jnp.where(argm == k, min2, min1)
+                loo_neg = (neg_cnt - (ca[k] < 0).astype(jnp.int32)) & 1
+                loo_sign = 1.0 - 2.0 * loo_neg.astype(jnp.float32)
+                bb = beta_b[b] if beta_is_vec else beta_b
+                ab = alpha_b[b] if alpha_is_vec else alpha_b
+                if spec.kind == "nms":
+                    out = bb * loo_sign * loo_mag
+                elif spec.kind == "oms":
+                    off = jax.nn.relu(loo_mag - bb)
+                    if spec.alpha_in_cn:
+                        off = off - ab
+                    out = loo_sign * off
+                elif spec.kind == "rcq":
+                    out = qdq(loo_sign * loo_mag)
+                else:  # wrcq
+                    out = qdq(bb * loo_sign * loo_mag)
+                new = jnp.roll(out, shifts[b], axis=0).astype(dtype)
+                j = cols[b]
+                colsum_list[j] = colsum_list[j] + (new - c2v_list[b])
+                c2v_list[b] = new
+
+        posterior = jnp.stack([llr_T[j] + colsum_list[j]
+                               for j in range(qc.nb)])
+        if vqdq is not None:
+            posterior = vqdq(posterior)
+        return (jnp.stack(c2v_list), jnp.stack(colsum_list),
+                posterior.astype(dtype))
+
+    def syndrome_ok(bits_blocks):
+        ok = jnp.ones((Bsz,), bool)
+        for i in range(qc.mb):
+            par = jnp.zeros((L, Bsz), jnp.int32)
+            for b in qc.row_blocks[i]:
+                par = par ^ jnp.roll(bits_blocks[cols[b]], -shifts[b], axis=0)
+            ok = ok & ~jnp.any(par > 0, axis=0)
+        return ok
+
+    carry0 = dict(
+        c2v=jnp.zeros((NB, L, Bsz), dtype),
+        colsum=jnp.zeros((qc.nb, L, Bsz), dtype),
+        post=llr_T,
+        done=jnp.zeros((Bsz,), bool),
+        iters=jnp.zeros((Bsz,), jnp.int32),
+    )
+
+    def body(carry, x):
+        c2v, colsum, post = one_iteration(carry["c2v"], carry["colsum"], x)
+        bits = (post < 0).astype(jnp.int32)
+        ok = syndrome_ok(bits)
+        done_prev = carry["done"]
+        post_out = jnp.where(done_prev[None, None, :], carry["post"], post)
+        iters = jnp.where(done_prev, carry["iters"], x["t"] + 1)
+        return dict(c2v=c2v, colsum=colsum, post=post_out,
+                    done=done_prev | ok, iters=iters), None
+
+    carry, _ = jax.lax.scan(body, carry0, _scan_xs(spec, weights, T))
+    post = carry["post"].reshape(qc.n, Bsz).T
+    bits = (post < 0).astype(jnp.int32)
+    return DecodeResult(bits=bits, posterior=post,
+                        iterations=carry["iters"], success=carry["done"])

@@ -49,7 +49,12 @@ from ldpc_tpu.decode.engine import (
     decode_batch_layered,
     make_layers,
 )
-from ldpc_tpu.decode.qc_engine import QCGraph, build_qc_graph, qc_decode_batch
+from ldpc_tpu.decode.qc_engine import (
+    QCGraph,
+    build_qc_graph,
+    qc_decode_batch,
+    qc_decode_batch_layered,
+)
 from ldpc_tpu.quantizer import (
     stack_quantizer_params,
     stack_quantizer_thresholds,
@@ -152,7 +157,11 @@ class Decoder:
         squeeze = llr.ndim == 1
         if squeeze:
             llr = llr[None, :]
-        if self.layered:
+        if self.layered and self.qc is not None:
+            out = qc_decode_batch_layered(
+                llr, w, qc=self.qc, spec=self.spec,
+                max_iterations=self.max_iterations, ste=ste)
+        elif self.layered:
             out = decode_batch_layered(
                 llr, w, self.layer_checks, graph=self.graph, spec=self.spec,
                 max_iterations=self.max_iterations, ste=ste)
@@ -241,15 +250,13 @@ def make_decoder(
     qc: a :class:`QCGraph` for quasi-cyclic codes — switches decoding to the
         roll-based QC fast path (no gathers; see ``qc_engine``). Requires
         sharing types 1-4 or weightless kinds ('ms'/'rcq'); per-edge type 0
-        needs the general engine. Not combinable with ``layered`` (yet).
+        needs the general engine. With ``layered=True``, base rows are the
+        layers (``qc_decode_batch_layered``).
     """
     if kind not in ("ms", "nms", "oms", "rcq", "wrcq"):
         raise ValueError(
             f"unknown decoder kind {kind!r}; expected one of "
             "'ms', 'nms', 'oms', 'rcq', 'wrcq'")
-    if qc is not None and layered:
-        raise ValueError("QC fast path does not support layered schedules "
-                         "yet; omit qc= for layered decoding")
     if qc is not None and kind in ("nms", "oms", "wrcq") and \
             (sharing_type is None or sharing_type == 0):
         raise ValueError("per-edge (type 0) weights need the general "
@@ -327,7 +334,8 @@ def make_decoder(
                 "wrcq": f"W-RCQ(t{st},bc={bc})"}[kind]
         dname = name or base
 
-    layer_checks = make_layers(graph, num_layers) if layered else None
+    layer_checks = (make_layers(graph, num_layers)
+                    if layered and qc is None else None)
     return Decoder(
         name=dname, code=code, graph=graph, spec=spec, max_iterations=T,
         weights=weights, layered=layered, layer_checks=layer_checks, qc=qc)

@@ -110,8 +110,6 @@ def test_qc_rejects_unsupported():
     qc = build_qc_graph(base, 8)
     with pytest.raises(ValueError):
         ldpc_tpu.make_decoder(code, kind="nms", sharing_type=0, qc=qc)
-    with pytest.raises(ValueError):
-        ldpc_tpu.make_decoder(code, kind="rcq", qc=qc, layered=True)
 
 
 def test_qc_noiseless_identity():
@@ -170,3 +168,48 @@ def test_qc_bfloat16_close_to_f32():
     fer_b = float(jnp.mean(jnp.any(b.bits != 0, axis=1)))
     # bf16 messages: FER statistically indistinguishable at this scale
     assert abs(fer_a - fer_b) < 0.05
+
+
+def test_qc_layered_matches_general_layered():
+    """QC layered (base-row layers) must be bit-exact with the general
+    layered engine given the same layer partition (checks within a base row
+    never share a variable, so a row is a valid simultaneous layer)."""
+    from ldpc_tpu.decode.engine import decode_batch_layered
+
+    base = _base(3, 8, 16, seed=0, density=0.8)
+    lift, T = 16, 6
+    code = ldpc_tpu.create_qc_code(base, lift=lift, max_iterations=T)
+    qc = build_qc_graph(base, lift)
+    for kw in (dict(kind="ms"), dict(kind="rcq", bc=3, bv=8),
+               dict(kind="wrcq", bc=4, sharing_type=2, seed=1, init="nms")):
+        gen = ldpc_tpu.make_decoder(code, max_iterations=T, **kw)
+        fast = ldpc_tpu.make_decoder(code, max_iterations=T, qc=qc,
+                                     layered=True, **kw)
+        fast.weights = gen.weights
+        # base-row layer partition for the general engine
+        layers = np.stack([np.arange(i * lift, (i + 1) * lift)
+                           for i in range(base.shape[0])]).astype(np.int32)
+        llr = awgn_llr(jax.random.PRNGKey(11),
+                       jnp.zeros((32, code.n)), 2.5)
+        a = decode_batch_layered(llr, gen.weights, layers, graph=gen.graph,
+                                 spec=gen.spec, max_iterations=T)
+        b = fast(llr)
+        np.testing.assert_array_equal(np.asarray(a.bits), np.asarray(b.bits))
+        np.testing.assert_array_equal(np.asarray(a.iterations),
+                                      np.asarray(b.iterations))
+        np.testing.assert_allclose(np.asarray(a.posterior),
+                                   np.asarray(b.posterior),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_qc_layered_converges_faster_than_flooding():
+    base = _base(4, 10, 16, seed=2, density=0.6)
+    code = ldpc_tpu.create_qc_code(base, lift=16, max_iterations=12)
+    qc = build_qc_graph(base, 16)
+    flood = ldpc_tpu.make_decoder(code, kind="ms", qc=qc, max_iterations=12)
+    layer = ldpc_tpu.make_decoder(code, kind="ms", qc=qc, max_iterations=12,
+                                  layered=True)
+    llr = awgn_llr(jax.random.PRNGKey(4), jnp.zeros((256, code.n)), 3.0)
+    a, b = flood(llr), layer(llr)
+    # layered propagates information within an iteration -> fewer iterations
+    assert float(b.iterations.mean()) <= float(a.iterations.mean()) + 0.1
