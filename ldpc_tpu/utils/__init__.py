@@ -5,3 +5,8 @@ from ldpc_tpu.utils.checkpoint import (
     save_checkpoint,
     save_trainer_checkpoint,
 )
+from ldpc_tpu.utils.profiling import (
+    ThroughputCounter,
+    measure_throughput,
+    trace,
+)

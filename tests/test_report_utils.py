@@ -100,3 +100,19 @@ def test_trainer_checkpoint_roundtrip(test_code, tmp_path):
     np.testing.assert_allclose(np.asarray(dec2.weights["beta"]),
                                np.asarray(dec.weights["beta"]))
     assert tr2.training_losses == tr.training_losses
+
+
+def test_snr_at_fer_interpolation():
+    import sys
+    sys.path.insert(0, ".")
+    from experiments.fer_parity import snr_at_fer
+
+    snrs = [1.0, 2.0, 3.0, 4.0]
+    fers = [0.5, 0.1, 0.01, 0.001]
+    # exact point
+    assert snr_at_fer(snrs, fers, 0.1) == pytest.approx(2.0)
+    # log-linear midpoint between 0.1 and 0.01 -> ~2.5
+    assert snr_at_fer(snrs, fers, 10 ** -1.5) == pytest.approx(2.5, abs=0.01)
+    # out of range
+    assert snr_at_fer(snrs, fers, 1e-6) is None
+    assert snr_at_fer([1.0], [0.1], 0.1) is None
