@@ -149,6 +149,9 @@ class Decoder:
     layered: bool = False
     layer_checks: Optional[np.ndarray] = None
     qc: Optional[QCGraph] = None  # set -> roll-based QC fast path
+    # extra static kwargs for the QC flooding engine (check_every, dtype,
+    # unroll — see qc_engine.qc_decode_batch); inference-path tuning only
+    qc_options: Optional[dict] = None
 
     def __call__(self, llr: jnp.ndarray, weights=None, *, ste: bool = False,
                  return_trajectory: bool = False) -> DecodeResult:
@@ -166,10 +169,15 @@ class Decoder:
                 llr, w, self.layer_checks, graph=self.graph, spec=self.spec,
                 max_iterations=self.max_iterations, ste=ste)
         elif self.qc is not None:
+            opts = dict(self.qc_options or {})
+            if ste or return_trajectory:
+                # training path: keep per-iteration semantics + f32 grads
+                opts.pop("check_every", None)
+                opts.pop("dtype", None)
             out = qc_decode_batch(
                 llr, w, qc=self.qc, spec=self.spec,
                 max_iterations=self.max_iterations, ste=ste,
-                return_trajectory=return_trajectory)
+                return_trajectory=return_trajectory, **opts)
         else:
             out = decode_batch(
                 llr, w, graph=self.graph, spec=self.spec,
@@ -191,6 +199,35 @@ class Decoder:
 
     def param_count(self) -> int:
         return param_count(self.weights)
+
+    def truncated(self, T1: int) -> "Decoder":
+        """A decoder identical to this one for the FIRST ``T1`` iterations
+        (weights, quantizer schedule, thresholds all sliced). Because early
+        exit freezes a frame at first convergence, any frame converged by
+        iteration T1 decodes identically under the truncated and the full
+        decoder — the exactness property behind the simulator's
+        early-termination wave compaction."""
+        if T1 > self.max_iterations:
+            raise ValueError(f"T1={T1} > max_iterations={self.max_iterations}")
+
+        def cut(a):
+            return None if a is None else a[:T1]
+
+        spec = dataclasses.replace(
+            self.spec,
+            thresholds=cut(self.spec.thresholds),
+            v2c_thresholds=cut(self.spec.v2c_thresholds),
+            qparams=cut(self.spec.qparams),
+            v2c_qparams=cut(self.spec.v2c_qparams),
+        )
+        weights = {k: cut(w) for k, w in self.weights.items()}
+        opts = dict(self.qc_options or {})
+        ce = opts.get("check_every")
+        if ce and T1 % ce:
+            opts["check_every"] = 1
+        return dataclasses.replace(self, spec=spec, weights=weights,
+                                   max_iterations=T1,
+                                   qc_options=(opts or None))
 
     def replace_weights(self, weights) -> "Decoder":
         return dataclasses.replace(self, weights=weights)
@@ -237,6 +274,7 @@ def make_decoder(
     name: Optional[str] = None,
     graph: Optional[DecoderGraph] = None,
     qc: Optional[QCGraph] = None,
+    qc_options: Optional[dict] = None,
 ) -> Decoder:
     """Build any decoder variant.
 
@@ -338,7 +376,8 @@ def make_decoder(
                     if layered and qc is None else None)
     return Decoder(
         name=dname, code=code, graph=graph, spec=spec, max_iterations=T,
-        weights=weights, layered=layered, layer_checks=layer_checks, qc=qc)
+        weights=weights, layered=layered, layer_checks=layer_checks, qc=qc,
+        qc_options=qc_options)
 
 
 # -- reference-parity constructors -----------------------------------------

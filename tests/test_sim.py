@@ -3,6 +3,7 @@
 import json
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -106,3 +107,63 @@ def test_sharded_wave_matches_stats(test_code):
     res = sim.simulate_decoder(dec, verbose=False)
     assert res.total_frames[0] == 1024
     assert 0.0 <= res.frame_error_rates[0] <= 1.0
+
+
+def test_truncated_decoder_prefix_equivalence(test_code):
+    """decoder.truncated(T1) reproduces the full decoder's outputs for
+    frames that converge within T1 (the compaction exactness property)."""
+    dec = ldpc_tpu.rcq_min_sum(test_code, bc=4, bv=8, max_iterations=10)
+    short = dec.truncated(3)
+    llr = ldpc_tpu.awgn_llr(jax.random.PRNGKey(0),
+                            np.zeros((256, 7), np.float32), 3.0)
+    a, b = dec(llr), short(llr)
+    conv = np.asarray(b.success)
+    np.testing.assert_array_equal(np.asarray(a.bits)[conv],
+                                  np.asarray(b.bits)[conv])
+    np.testing.assert_array_equal(np.asarray(a.iterations)[conv],
+                                  np.asarray(b.iterations)[conv])
+    with pytest.raises(ValueError):
+        dec.truncated(11)
+
+
+def test_compacting_wave_matches_full(mid_code):
+    """Early-exit compaction must give identical pooled statistics to the
+    plain full-depth wave (same key -> same noise)."""
+    from ldpc_tpu.sim.montecarlo import (_make_compacting_wave_fn,
+                                         _make_wave_fn)
+
+    dec = ldpc_tpu.basic_min_sum(mid_code, max_iterations=15)
+    full = _make_wave_fn(dec, 512)
+    comp = _make_compacting_wave_fn(dec, 512, early_iters=3,
+                                    survivor_budget=256)
+    key = jax.random.PRNGKey(42)
+    for snr in (2.0, 3.0):
+        a = tuple(int(v) for v in full(key, jnp.float32(snr), dec.weights))
+        b = tuple(int(v) for v in comp(key, jnp.float32(snr), dec.weights))
+        assert a == b, f"snr={snr}: {a} != {b}"
+
+
+def test_compacting_wave_overflow_fallback(mid_code):
+    """At low SNR survivors exceed the budget -> full-wave fallback, still
+    exact."""
+    from ldpc_tpu.sim.montecarlo import (_make_compacting_wave_fn,
+                                         _make_wave_fn)
+
+    dec = ldpc_tpu.basic_min_sum(mid_code, max_iterations=15)
+    full = _make_wave_fn(dec, 256)
+    comp = _make_compacting_wave_fn(dec, 256, early_iters=2,
+                                    survivor_budget=8)
+    key = jax.random.PRNGKey(1)
+    a = tuple(int(v) for v in full(key, jnp.float32(0.0), dec.weights))
+    b = tuple(int(v) for v in comp(key, jnp.float32(0.0), dec.weights))
+    assert a == b
+
+
+def test_simulator_with_compaction(test_code):
+    cfg = SimulationConfig(snr_range=(4.0, 4.0), snr_step=1.0,
+                           max_frames=1024, max_errors=10**9, min_frames=0,
+                           wave_size=512, early_exit_iters=2)
+    dec = ldpc_tpu.basic_min_sum(test_code, max_iterations=10)
+    res = LDPCSimulator(cfg).simulate_decoder(dec, verbose=False)
+    assert res.total_frames[0] == 1024
+    assert 0 <= res.frame_error_rates[0] < 0.2
