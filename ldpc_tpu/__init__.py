@@ -19,7 +19,9 @@ from ldpc_tpu.codes import (
     create_random_regular_code,
     create_test_ldpc_code,
     load_alist,
+    load_protograph,
     save_alist,
+    save_protograph,
 )
 from ldpc_tpu.channel import awgn_llr, bpsk_modulate, simulate_awgn_channel
 from ldpc_tpu.quantizer import (

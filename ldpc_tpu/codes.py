@@ -495,3 +495,34 @@ def save_alist(code: LDPCCode, path: str) -> None:
         lines.append(" ".join(str(x) for x in r + [0] * (max_rw - len(r))))
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
+
+
+def save_protograph(base_matrix: np.ndarray, lift: int, path: str) -> None:
+    """Write a QC protograph (shift matrix + lift) as text.
+
+    alist flattens the lifted H and loses the circulant structure the QC
+    fast path needs; this format round-trips it. Line 1: ``mb nb lift``;
+    then mb rows of nb shift entries (-1 = zero block).
+    """
+    B = np.asarray(base_matrix, dtype=np.int64)
+    mb, nb = B.shape
+    lines = [f"{mb} {nb} {lift}"]
+    for i in range(mb):
+        lines.append(" ".join(str(int(x)) for x in B[i]))
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def load_protograph(path: str):
+    """Load a protograph saved by :func:`save_protograph`.
+
+    Returns ``(base_matrix [mb, nb], lift)`` — feed to
+    :func:`create_qc_code` and ``decode.qc_engine.build_qc_graph``.
+    """
+    with open(path) as f:
+        tokens = f.read().split()
+    it = iter(tokens)
+    mb, nb, lift = int(next(it)), int(next(it)), int(next(it))
+    B = np.array([[int(next(it)) for _ in range(nb)] for _ in range(mb)],
+                 dtype=np.int64)
+    return B, lift

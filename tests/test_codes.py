@@ -106,3 +106,23 @@ def test_alist_roundtrip(tmp_path, test_code):
     loaded = ldpc_tpu.load_alist(str(p))
     assert (loaded.H == test_code.H).all()
     assert loaded.n == test_code.n and loaded.m == test_code.m
+
+
+def test_protograph_roundtrip(tmp_path):
+    import numpy as np
+    from ldpc_tpu import (create_qc_code, load_protograph, save_protograph)
+    from ldpc_tpu.decode.qc_engine import build_qc_graph
+
+    rng = np.random.default_rng(0)
+    base = rng.integers(-1, 16, size=(3, 7))
+    path = str(tmp_path / "proto.txt")
+    save_protograph(base, 16, path)
+    back, lift = load_protograph(path)
+    np.testing.assert_array_equal(back, base)
+    assert lift == 16
+    # the round-tripped protograph builds the same lifted code
+    a = create_qc_code(base, 16)
+    b = create_qc_code(back, lift)
+    np.testing.assert_array_equal(a.H, b.H)
+    qc = build_qc_graph(back, lift)
+    assert qc.lift == 16
