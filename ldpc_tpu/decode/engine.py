@@ -39,8 +39,6 @@ from ldpc_tpu.codes import DecoderGraph
 from ldpc_tpu.quantizer import (
     power_qdq,
     power_qdq_ste,
-    qdq_ste,
-    quantize_dequantize,
     staircase_qdq,
     staircase_qdq_ste,
 )

@@ -29,7 +29,6 @@ the intended fast path. ``qc_engine.qc_decode_batch`` remains the default.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

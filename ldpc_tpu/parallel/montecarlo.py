@@ -10,7 +10,6 @@ tiny model, let XLA place the collectives on ICI.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax

@@ -11,7 +11,7 @@ PNGs are fabricated ``exp(-k*snr)`` templates, SURVEY §8.6).
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

@@ -30,7 +30,6 @@ import json
 import logging
 import os
 import time
-from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
