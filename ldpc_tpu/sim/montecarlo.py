@@ -285,20 +285,44 @@ class LDPCSimulator:
 
     def simulate_decoder(self, decoder: Decoder,
                          decoder_name: Optional[str] = None,
-                         verbose: bool = True) -> SimulationResult:
-        """SNR sweep for one decoder (``simulation_framework.py:141-176``)."""
+                         verbose: bool = True,
+                         checkpoint: Optional[str] = None) -> SimulationResult:
+        """SNR sweep for one decoder (``simulation_framework.py:141-176``).
+
+        ``checkpoint``: path of a JSON file updated after every SNR point;
+        if it already exists, completed points are skipped on restart —
+        resumable long Monte-Carlo campaigns (a capability the reference
+        lacks entirely, SURVEY §5). RNG keys are derived per (seed, SNR
+        index), so resumed and uninterrupted runs produce identical
+        statistics.
+        """
         name = decoder_name or decoder.name
         snrs = self.config.snr_points()
         result = SimulationResult(name, [float(s) for s in snrs])
+        done_points = 0
+        if checkpoint and os.path.exists(checkpoint):
+            with open(checkpoint) as f:
+                saved = SimulationResult.from_dict(json.load(f))
+            if saved.snr_values == result.snr_values:
+                result = saved
+                done_points = len(saved.frame_error_rates)
+                if verbose and done_points:
+                    logger.info("%s: resuming after %d completed SNR points",
+                                name, done_points)
         wave_fn = _build_wave(decoder, self.config, self.mesh)
-        key = jax.random.PRNGKey(self.config.seed)
+        base_key = jax.random.PRNGKey(self.config.seed)
         for idx, snr in enumerate(snrs):
-            key, sub = jax.random.split(key)
+            if idx < done_points:
+                continue
+            sub = jax.random.fold_in(base_key, idx)
             t0 = time.time()
             fer, ber, avg_iter, frames, errors = simulate_single_snr(
                 decoder, float(snr), self.config, key=sub, wave_fn=wave_fn)
             dt = time.time() - t0
             result.add_result(idx, fer, ber, avg_iter, dt, frames, errors)
+            if checkpoint:
+                with open(checkpoint, "w") as f:
+                    json.dump(result.to_dict(), f)
             if verbose:
                 logger.info(
                     "%s @ %.2f dB: FER=%.3e BER=%.3e iters=%.2f "
