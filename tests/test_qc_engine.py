@@ -213,3 +213,26 @@ def test_qc_layered_converges_faster_than_flooding():
     a, b = flood(llr), layer(llr)
     # layered propagates information within an iteration -> fewer iterations
     assert float(b.iterations.mean()) <= float(a.iterations.mean()) + 0.1
+
+
+def test_qc_options_respected_and_training_unaffected():
+    """qc_options tune the inference path; STE/trajectory calls ignore
+    check_every/dtype so training keeps f32 per-iteration semantics."""
+    import dataclasses
+
+    base = _base(2, 6, 16, seed=0)
+    code = ldpc_tpu.create_qc_code(base, lift=16, max_iterations=4)
+    qc = build_qc_graph(base, 16)
+    dec = ldpc_tpu.make_decoder(
+        code, kind="rcq", bc=3, qc=qc, max_iterations=4,
+        qc_options=dict(check_every=4, dtype=jnp.bfloat16))
+    llr = awgn_llr(jax.random.PRNGKey(0), jnp.zeros((16, code.n)), 4.0)
+    out = dec(llr)
+    assert out.posterior.dtype == jnp.bfloat16
+    assert set(np.unique(np.asarray(out.iterations))) <= {4}
+    # trajectory path drops the perf opts -> f32, per-iteration counts
+    dec2 = dataclasses.replace(dec, qc_options=dict(check_every=4,
+                                                    dtype=jnp.bfloat16))
+    out2 = dec2(llr, return_trajectory=True)
+    assert out2.posterior.dtype == jnp.float32
+    assert out2.posteriors_all.shape[0] == 4
