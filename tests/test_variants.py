@@ -111,3 +111,27 @@ def test_trajectory_output(test_code):
     llr = jnp.full((3, 7), 2.0)
     out = dec(llr, return_trajectory=True)
     assert out.posteriors_all.shape == (10, 3, 7)
+
+
+@pytest.mark.parametrize("make", [
+    lambda c: ldpc_tpu.basic_min_sum(c, max_iterations=8),
+    lambda c: ldpc_tpu.neural_min_sum(c, max_iterations=8),
+    lambda c: ldpc_tpu.neural_2d_min_sum(c, weight_sharing_type=2,
+                                         max_iterations=8, init="nms"),
+    lambda c: ldpc_tpu.rcq_min_sum(c, bc=3, bv=8, max_iterations=8),
+    lambda c: ldpc_tpu.rcq_min_sum(c, bc=3, max_iterations=8, layered=True),
+])
+def test_success_implies_valid_codeword(mid_code, make):
+    """Property: success=True <=> the hard decision satisfies every parity
+    check (the syndrome definition, SURVEY §2b step 5)."""
+    import jax
+
+    dec = make(mid_code)
+    llr = ldpc_tpu.awgn_llr(jax.random.PRNGKey(9),
+                            np.zeros((128, mid_code.n), np.float32), 2.0)
+    out = dec(llr)
+    bits = np.asarray(out.bits)
+    ok = np.asarray(out.success)
+    syndrome = (mid_code.H.astype(np.int64) @ bits.T) % 2
+    valid = (syndrome.sum(axis=0) == 0)
+    np.testing.assert_array_equal(ok, valid)
