@@ -126,3 +126,29 @@ def test_protograph_roundtrip(tmp_path):
     np.testing.assert_array_equal(a.H, b.H)
     qc = build_qc_graph(back, lift)
     assert qc.lift == 16
+
+
+def test_pbrl_family_rate_compatible():
+    """Rate-compatible nesting: every higher-rate H is the leading submatrix
+    of the lowest-rate mother code (paper §VII-C family structure)."""
+    import numpy as np
+    from ldpc_tpu import create_pbrl_family
+
+    fam = create_pbrl_family(k=96, rates=(1 / 3, 1 / 2, 2 / 3))
+    assert set(fam) == {1 / 3, 1 / 2, 2 / 3}
+    mother = fam[1 / 3]
+    assert mother.n == 288 and mother.k == 96
+    for r in (1 / 2, 2 / 3):
+        c = fam[r]
+        assert c.k == 96
+        assert abs(c.rate - r) < 0.02
+        sub = mother.H[: c.H.shape[0], : c.H.shape[1]]
+        if sub.shape == c.H.shape and c.H.shape[0] >= min(mother.n - 96, 96):
+            np.testing.assert_array_equal(c.H, sub)
+    # every member decodes noiselessly
+    import jax.numpy as jnp
+    import ldpc_tpu
+    for r, c in fam.items():
+        dec = ldpc_tpu.basic_min_sum(c, max_iterations=8)
+        out = dec(jnp.full((2, c.n), 6.0))
+        assert bool(jnp.all(out.success)), f"rate {r}"
