@@ -343,6 +343,28 @@ class LDPCSimulator:
                                  name)
         return self.results
 
+    # -- plotting (reference API parity: plot_* live on the simulator,
+    #    simulation_framework.py:218-336; implementations in ldpc_tpu.report)
+
+    def plot_fer_curves(self, path: str = "fer_comparison.png",
+                        results=None):
+        from ldpc_tpu.report import plot_fer_curves
+        return plot_fer_curves(results or self.results, path)
+
+    def plot_ber_curves(self, path: str = "ber_comparison.png",
+                        results=None):
+        from ldpc_tpu.report import plot_ber_curves
+        return plot_ber_curves(results or self.results, path)
+
+    def plot_iteration_curves(self, path: str = "iterations.png",
+                              results=None):
+        from ldpc_tpu.report import plot_iteration_curves
+        return plot_iteration_curves(results or self.results, path)
+
+    def plot_timing_curves(self, path: str = "timing.png", results=None):
+        from ldpc_tpu.report import plot_timing_curves
+        return plot_timing_curves(results or self.results, path)
+
     # -- persistence (format-compatible with simulation_framework.py:338-382)
 
     def save_results(self, filename: str,
