@@ -112,3 +112,32 @@ def test_data_parallel_training_step(mid_code):
                                mesh=mesh)
     hist = tr.train(num_samples=128, verbose=False)
     assert np.isfinite(hist["training_losses"]).all()
+
+
+def test_training_history_plot(test_code, tmp_path):
+    import os
+
+    dec = ldpc_tpu.neural_min_sum(test_code, max_iterations=4, seed=0)
+    tr = PosteriorJointTrainer(dec, _cfg(num_epochs=2))
+    tr.train(num_samples=64, verbose=False)
+    p = tr.plot_training_history(str(tmp_path / "hist.png"))
+    assert os.path.getsize(p) > 1000
+
+
+def test_gradient_analysis_plot(test_code, tmp_path):
+    import os
+
+    dec = ldpc_tpu.neural_min_sum(test_code, max_iterations=4, seed=0)
+    an = GradientExplosionAnalyzer(dec)
+    res = an.analyze(num_samples=8)
+    p = an.plot_gradient_analysis(res, str(tmp_path / "ga.png"))
+    assert os.path.getsize(p) > 1000
+
+
+def test_compute_loss_and_validate_paths(test_code):
+    dec = ldpc_tpu.neural_min_sum(test_code, max_iterations=4, seed=0)
+    tr = PosteriorJointTrainer(dec, _cfg(num_epochs=1))
+    llr, tgt = tr.generate_training_data(32)
+    assert np.isfinite(tr.compute_loss(llr, tgt))
+    loss, acc = tr.validate()
+    assert 0.0 <= acc <= 1.0 and np.isfinite(loss)
