@@ -13,6 +13,7 @@ from ldpc_tpu.codes import (
     LDPCCode,
     build_graph,
     create_dvbs2_like_code,
+    create_dvbs2_qc_protograph,
     create_pbrl_family,
     create_pbrl_like_code,
     create_peg_code,

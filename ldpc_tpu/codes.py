@@ -569,3 +569,44 @@ def create_pbrl_family(
         family[r] = LDPCCode(n=n_r, k=k, H=H,
                              max_iterations=max_iterations)
     return family
+
+
+def create_dvbs2_qc_protograph(
+    n: int = 16200,
+    k: int = 7200,
+    lift: int = 360,
+    dv_info: int = 3,
+    seed: int = 0,
+) -> Tuple[np.ndarray, int]:
+    """IRA protograph with DVB-S2 structure and lift (the real standard is
+    quasi-cyclic with lift 360), decodable on the QC fast path.
+
+    Info base columns get ``dv_info`` circulant blocks at random shifts,
+    spread over distinct base rows; parity base columns form the IRA
+    dual-diagonal staircase (shift-0 identity blocks), mirroring
+    :func:`create_dvbs2_like_code`'s lifted-domain construction. Returns
+    ``(base_matrix, lift)`` for :func:`create_qc_code` /
+    ``decode.qc_engine.build_qc_graph``.
+    """
+    if n % lift or k % lift:
+        raise ValueError(f"n={n} and k={k} must be multiples of lift={lift}")
+    nb, kb = n // lift, k // lift
+    mb = nb - kb
+    if dv_info > mb:
+        raise ValueError(f"dv_info={dv_info} > base rows {mb}")
+    rng = np.random.default_rng(seed)
+    B = np.full((mb, nb), -1, dtype=np.int64)
+    # info columns: dv_info blocks on distinct rows, balanced across rows
+    row_load = np.zeros(mb, dtype=np.int64)
+    for j in range(kb):
+        rows = np.argsort(row_load 
+                          + rng.uniform(0, 0.5, mb))[:dv_info]
+        for r in rows:
+            B[r, j] = rng.integers(0, lift)
+            row_load[r] += 1
+    # parity columns: dual-diagonal staircase of shift-0 identities
+    for p in range(mb):
+        B[p, kb + p] = 0
+        if p > 0:
+            B[p, kb + p - 1] = 0
+    return B, lift
