@@ -54,7 +54,8 @@ def make_spmd_wave_fn(decoder: Decoder, wave_size: int, mesh: Mesh,
                                        max_iterations=T)
         elif qc is not None:
             out = qc_decode_batch(llr, weights, qc=qc, spec=spec,
-                                  max_iterations=T)
+                                  max_iterations=T,
+                                  **(decoder.qc_options or {}))
         else:
             out = decode_batch(llr, weights, graph=graph, spec=spec,
                                max_iterations=T)
