@@ -70,3 +70,33 @@ def test_spmd_wave_qc_decoder():
     fe, be, it, ok = wave(jax.random.PRNGKey(1), jnp.float32(6.0),
                           dec.weights)
     assert int(fe) >= 256 - int(ok)  # unconverged => frame error
+
+
+def test_wrcq_qc_mesh_simulation_and_training():
+    """BASELINE config 5 shape: weighted RCQ on a QC-lifted code with
+    mesh-sharded Monte-Carlo AND data-parallel posterior-joint training
+    (8 virtual devices standing in for the pod slice)."""
+    from ldpc_tpu.decode.qc_engine import build_qc_graph
+    from ldpc_tpu.sim import LDPCSimulator, SimulationConfig
+    from ldpc_tpu.train import PosteriorJointTrainer, TrainingConfig
+
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 24, size=(3, 10))
+    code = ldpc_tpu.create_qc_code(base, lift=24, max_iterations=6)
+    qc = build_qc_graph(base, 24)
+    dec = ldpc_tpu.make_decoder(code, kind="wrcq", bc=3, sharing_type=2,
+                                max_iterations=6, qc=qc, init="nms")
+    mesh = make_mesh(8)
+
+    tr = PosteriorJointTrainer(
+        dec, TrainingConfig(batch_size=64, num_epochs=2, snr_range=(2, 5),
+                            learning_rate=3e-3), mesh=mesh)
+    hist = tr.train(num_samples=128, verbose=False)
+    assert np.isfinite(hist["training_losses"]).all()
+
+    cfg = SimulationConfig(snr_range=(4.0, 5.0), snr_step=1.0,
+                           max_frames=512, max_errors=10**9, min_frames=0,
+                           wave_size=256)
+    res = LDPCSimulator(cfg, mesh=mesh).simulate_decoder(dec, verbose=False)
+    assert res.total_frames == [512, 512]
+    assert all(0.0 <= f <= 1.0 for f in res.frame_error_rates)
