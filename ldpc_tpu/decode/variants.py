@@ -224,7 +224,8 @@ class Decoder:
         opts = dict(self.qc_options or {})
         ce = opts.get("check_every")
         if ce and T1 % ce:
-            opts["check_every"] = 1
+            # any divisor of T1 is valid; checking only at T1 is cheapest
+            opts["check_every"] = T1
         return dataclasses.replace(self, spec=spec, weights=weights,
                                    max_iterations=T1,
                                    qc_options=(opts or None))
