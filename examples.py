@@ -86,8 +86,11 @@ def example_rcq_decoding():
                 ldpc_tpu.weighted_rcq(code, bc=3, weight_sharing_type=2)):
         out = dec(llr)
         fer = float(jnp.mean(jnp.any(out.bits != 0, axis=1)))
+        note = ("  (untrained: W-RCQ weights need training — "
+                "see examples 'training' / experiments/train_wrcq.py)"
+                if dec.name.startswith("W-RCQ") else "")
         print(f"  {dec.name}: FER@3dB={fer:.3f} "
-              f"avg_iters={float(out.iterations.mean()):.1f}")
+              f"avg_iters={float(out.iterations.mean()):.1f}{note}")
 
 
 def example_layered_decoding():

@@ -17,3 +17,10 @@ from ldpc_tpu.decode.variants import (
     rcq_min_sum,
     weighted_rcq,
 )
+from ldpc_tpu.decode.qc_engine import (
+    QCGraph,
+    build_qc_graph,
+    qc_decode_batch,
+    qc_decode_batch_layered,
+)
+from ldpc_tpu.decode.pallas_qc import qc_pallas_decode_batch
