@@ -177,10 +177,22 @@ def qc_decode_batch(
     # v2c var-aligned per block
     v2c0 = jnp.stack([llr_T[cols[b]] for b in range(NB)])  # [NB, L, B]
 
+    # row-batched CN path: when every base row has the same block count,
+    # the k-th blocks of all rows stack into one [mb, L, B] array and the
+    # min tree / transforms run once per k instead of once per block —
+    # ~3x fewer (and mb-x bigger) fusions, which is what matters in the
+    # launch-overhead-bound regime (docs/PERFORMANCE.md)
+    row_dcs = {len(b) for b in qc.row_blocks}
+    row_regular = len(row_dcs) == 1 and qc.mb > 1
+
     def cn_and_vn(v2c, beta_b, alpha_b, qdq, vqdq):
         """One flooding iteration; returns (v2c', posterior [nb, L, B])."""
         beta_is_vec = jnp.ndim(beta_b) > 0
         alpha_is_vec = jnp.ndim(alpha_b) > 0
+
+        if row_regular:
+            return cn_and_vn_row_batched(v2c, beta_b, alpha_b, qdq, vqdq,
+                                         beta_is_vec, alpha_is_vec)
 
         # ---- check-node update, per base row ----
         c2v_va: List[Optional[jnp.ndarray]] = [None] * NB
@@ -245,6 +257,87 @@ def qc_decode_batch(
                     nv = vqdq(nv)
                 v2c_new[b] = nv.astype(v2c.dtype)
         posterior = jnp.stack(post)  # [nb, L, B]
+        if vqdq is not None:
+            posterior = vqdq(posterior)
+        return jnp.stack(v2c_new), posterior.astype(v2c.dtype)
+
+    def cn_and_vn_row_batched(v2c, beta_b, alpha_b, qdq, vqdq,
+                              beta_is_vec, alpha_is_vec):
+        dc = len(qc.row_blocks[0])
+        # blk[i][k] = block id of row i's k-th block
+        blk = [list(qc.row_blocks[i]) for i in range(qc.mb)]
+
+        def ca_k(k):
+            return jnp.stack([
+                jnp.roll(v2c[blk[i][k]], -shifts[blk[i][k]], axis=0)
+                for i in range(qc.mb)])  # [mb, L, B]
+
+        x0 = ca_k(0).astype(jnp.float32)
+        min1 = jnp.abs(x0)
+        min2 = jnp.full_like(min1, _INF)
+        argm = jnp.zeros(min1.shape, jnp.int32)
+        neg_cnt = (x0 < 0).astype(jnp.int32)
+        for k in range(1, dc):
+            xk = ca_k(k).astype(jnp.float32)
+            mk = jnp.abs(xk)
+            new_min = mk < min1
+            min2 = jnp.where(new_min, min1, jnp.minimum(min2, mk))
+            min1 = jnp.where(new_min, mk, min1)
+            argm = jnp.where(new_min, k, argm)
+            neg_cnt = neg_cnt + (xk < 0).astype(jnp.int32)
+        if dc == 1:
+            min2 = min1
+
+        c2v_va = [None] * NB
+        for k in range(dc):
+            xk = ca_k(k).astype(jnp.float32)
+            loo_mag = jnp.where(argm == k, min2, min1)
+            loo_neg = (neg_cnt - (xk < 0).astype(jnp.int32)) & 1
+            loo_sign = 1.0 - 2.0 * loo_neg.astype(jnp.float32)
+            ids = [blk[i][k] for i in range(qc.mb)]
+            if beta_is_vec:
+                bb = beta_b[jnp.asarray(ids)][:, None, None]
+            else:
+                bb = beta_b
+            if alpha_is_vec:
+                ab = alpha_b[jnp.asarray(ids)][:, None, None]
+            else:
+                ab = alpha_b
+            if spec.kind == "nms":
+                out = bb * loo_sign * loo_mag
+            elif spec.kind == "oms":
+                off = jax.nn.relu(loo_mag - bb)
+                if spec.alpha_in_cn:
+                    off = off - ab
+                out = loo_sign * off
+            elif spec.kind == "rcq":
+                out = qdq(loo_sign * loo_mag)
+            else:  # wrcq
+                out = qdq(bb * loo_sign * loo_mag)
+            out = out.astype(v2c.dtype)
+            for i in range(qc.mb):
+                c2v_va[ids[i]] = jnp.roll(out[i], shifts[ids[i]], axis=0)
+
+        # ---- variable-node update (same as the general path) ----
+        v2c_new = [None] * NB
+        post = [None] * qc.nb
+        for j in range(qc.nb):
+            blocks = qc.col_blocks[j]
+            colsum = c2v_va[blocks[0]]
+            for b in blocks[1:]:
+                colsum = colsum + c2v_va[b]
+            post[j] = llr_T[j] + colsum
+            for b in blocks:
+                ext = colsum - c2v_va[b]
+                ab = alpha_b[b] if alpha_is_vec else alpha_b
+                if spec.alpha_in_cn:
+                    nv = llr_T[j] + ext
+                else:
+                    nv = llr_T[j] + ab * ext
+                if vqdq is not None:
+                    nv = vqdq(nv)
+                v2c_new[b] = nv.astype(v2c.dtype)
+        posterior = jnp.stack(post)
         if vqdq is not None:
             posterior = vqdq(posterior)
         return jnp.stack(v2c_new), posterior.astype(v2c.dtype)

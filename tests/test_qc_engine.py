@@ -236,3 +236,24 @@ def test_qc_options_respected_and_training_unaffected():
     out2 = dec2(llr, return_trajectory=True)
     assert out2.posterior.dtype == jnp.float32
     assert out2.posteriors_all.shape[0] == 4
+
+
+@pytest.mark.parametrize("kw", [
+    dict(kind="ms"),
+    dict(kind="nms", sharing_type=2, seed=1, init="nms"),
+    dict(kind="oms", sharing_type=1, seed=2),
+    dict(kind="rcq", bc=3, bv=8),
+    dict(kind="wrcq", bc=4, sharing_type=3, seed=3, init="nms"),
+])
+def test_qc_row_batched_matches_general(kw):
+    """Row-regular protographs take the row-batched CN path; must stay
+    bit-exact with the general engine across variants."""
+    base = _base(4, 9, 16, seed=5, density=1.0)  # full => row-regular
+    gen, fast = _pair(base, 16, T, **kw)
+    llr = awgn_llr(jax.random.PRNGKey(13), jnp.zeros((64, gen.code.n)), 3.0)
+    a, b = gen(llr), fast(llr)
+    np.testing.assert_array_equal(np.asarray(a.bits), np.asarray(b.bits))
+    np.testing.assert_array_equal(np.asarray(a.iterations),
+                                  np.asarray(b.iterations))
+    np.testing.assert_allclose(np.asarray(a.posterior),
+                               np.asarray(b.posterior), rtol=1e-5, atol=1e-5)
