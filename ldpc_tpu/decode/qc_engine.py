@@ -184,6 +184,10 @@ def qc_decode_batch(
     # launch-overhead-bound regime (docs/PERFORMANCE.md)
     row_dcs = {len(b) for b in qc.row_blocks}
     row_regular = len(row_dcs) == 1 and qc.mb > 1
+    # NOTE: an analogous column-batched VN was measured SLOWER (27.9k vs
+    # 33.4k cw/s): the per-position stacks materialize dv full-state copies
+    # while XLA already fuses the per-column VN chains well. Row-batching
+    # wins only where reductions (the CN min tree) break fusion.
 
     def cn_and_vn(v2c, beta_b, alpha_b, qdq, vqdq):
         """One flooding iteration; returns (v2c', posterior [nb, L, B])."""
@@ -318,7 +322,7 @@ def qc_decode_batch(
             for i in range(qc.mb):
                 c2v_va[ids[i]] = jnp.roll(out[i], shifts[ids[i]], axis=0)
 
-        # ---- variable-node update (same as the general path) ----
+        # ---- variable-node update ----
         v2c_new = [None] * NB
         post = [None] * qc.nb
         for j in range(qc.nb):
