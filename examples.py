@@ -158,7 +158,7 @@ def example_simulation():
         fers = ", ".join(f"{f:.3f}" for f in r.frame_error_rates)
         print(f"  {name}: FER = [{fers}]")
     path = plot_comparison_grid(results, "simulation_results/comparison.png")
-    sim.save_results("example_results.json")
+    sim.save_results(filename="example_results.json")
     print(f"  plots -> {path}")
 
 

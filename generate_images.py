@@ -43,7 +43,7 @@ def generate_all_images(out_dir: str = "images", max_frames: int = 4096,
                            results_dir=out_dir)
     sim = LDPCSimulator(cfg)
     results = sim.simulate_multiple_decoders(zoo, verbose=verbose)
-    sim.save_results("mc_results.json")
+    sim.save_results(filename="mc_results.json")
 
     paths = [
         plot_fer_curves(results, os.path.join(out_dir, "fer_comparison.png")),

@@ -44,6 +44,7 @@ from ldpc_tpu.decode import (
     neural_offset_min_sum,
     param_count,
     rcq_min_sum,
+    weighted_oms_rcq,
     weighted_rcq,
 )
 

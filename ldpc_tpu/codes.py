@@ -241,9 +241,6 @@ def create_random_regular_code(
     low-density — unlike the reference's fake "DVB-S2" generator which emits
     a ~50%-dense random matrix (``training_framework.py:379-400``, SURVEY §8.7).
     """
-    if n * dv % m != 0:
-        # allow slight irregularity: distribute remainder
-        pass
     rng = np.random.default_rng(seed)
     H = np.zeros((m, n), dtype=np.uint8)
     # permutation-based: stack dv permutations of a balanced assignment

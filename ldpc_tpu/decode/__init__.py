@@ -15,6 +15,7 @@ from ldpc_tpu.decode.variants import (
     neural_offset_min_sum,
     param_count,
     rcq_min_sum,
+    weighted_oms_rcq,
     weighted_rcq,
 )
 from ldpc_tpu.decode.qc_engine import (

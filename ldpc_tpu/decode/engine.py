@@ -60,6 +60,10 @@ class VariantSpec:
                      ``neural_2d_decoder.py:400-401``)
       - ``'rcq'``  — c2v = qdq(sign * mag)         (``rcq_decoder.py:244-246``)
       - ``'wrcq'`` — c2v = qdq(beta * sign * mag)  (``rcq_decoder.py:559-563``)
+      - ``'orcq'`` — c2v = qdq(sign * (relu(mag - beta) - alpha_cn)) —
+                     W-OMS-RCQ, the paper's FPGA headline decoder (§VII-B,
+                     Table III); absent from the reference, whose
+                     ``WeightedRCQDecoder`` is beta-multiply only
 
     ``beta_idx`` / ``alpha_idx``: per-edge int32 bucket indices into the
     trainable ``weights['beta'][T, n_beta]`` / ``weights['alpha'][T, n_alpha]``
@@ -98,7 +102,7 @@ class VariantSpec:
     v2c_levels: int = 0
 
     def __post_init__(self):
-        if self.kind not in ("nms", "oms", "rcq", "wrcq"):
+        if self.kind not in ("nms", "oms", "rcq", "wrcq", "orcq"):
             raise ValueError(f"unknown variant kind {self.kind!r}")
 
 
@@ -140,7 +144,7 @@ def _make_qdq(spec: VariantSpec, x, ste: bool, v2c: bool):
         if spec.v2c_qparams is None and spec.v2c_thresholds is None:
             return None
     else:
-        if spec.kind not in ("rcq", "wrcq"):
+        if spec.kind not in ("rcq", "wrcq", "orcq"):
             return None
         qparams, levels, thr_key, qp_key = (
             spec.qparams, spec.q_levels, "thr", "qp")
@@ -204,6 +208,11 @@ def _cn_update(
         c2v = qdq(sign_e * mag_e)
     elif spec.kind == "wrcq":
         c2v = qdq(beta_col * sign_e * mag_e)
+    elif spec.kind == "orcq":
+        off = jax.nn.relu(mag_e - beta_col)
+        if spec.alpha_in_cn:
+            off = off - alpha_col
+        c2v = qdq(sign_e * off)
     else:  # pragma: no cover
         raise AssertionError(spec.kind)
     return c2v
@@ -359,8 +368,6 @@ def make_layers(graph: DecoderGraph, num_layers: Optional[int] = None):
     for i in range(m):
         placed = False
         for li, lv in enumerate(layer_vars):
-            if num_layers is not None and len(layers) >= num_layers:
-                pass
             if not (lv & var_sets[i]):
                 layers[li].append(i)
                 lv.update(var_sets[i])
@@ -467,8 +474,13 @@ def _decode_layered_impl(llr, weights, layer_checks, *, graph, spec,
                 new = loo_sign * off
             elif spec.kind == "rcq":
                 new = qdq(loo_sign * loo_mag)
-            else:  # wrcq
+            elif spec.kind == "wrcq":
                 new = qdq(b_col * loo_sign * loo_mag)
+            else:  # orcq
+                off = jax.nn.relu(loo_mag - b_col)
+                if spec.alpha_in_cn:
+                    off = off - ac_col
+                new = qdq(loo_sign * off)
             new = jnp.where(mask, new, 0.0)
 
             delta = (new - jnp.where(mask, old, 0.0)).reshape(-1, B)

@@ -27,7 +27,7 @@ def oracle_decode(
     beta_fn: Optional[Callable[[int, int, int], float]] = None,
     alpha_fn: Optional[Callable[[int, int, int], float]] = None,
     alpha_in_cn: bool = False,
-    transform: str = "nms",  # 'nms' | 'oms' | 'rcq' | 'wrcq'
+    transform: str = "nms",  # 'nms' | 'oms' | 'rcq' | 'wrcq' | 'orcq'
     qdq: Optional[Callable[[np.ndarray, int], np.ndarray]] = None,
     quantize_v2c: Optional[Callable[[np.ndarray, int], np.ndarray]] = None,
 ) -> Tuple[np.ndarray, np.ndarray, int, bool]:
@@ -92,6 +92,13 @@ def oracle_decode(
                     val = qdq(np.asarray(sgn * raw), t)
                 elif transform == "wrcq":
                     val = qdq(np.asarray(beta * sgn * raw), t)
+                elif transform == "orcq":
+                    # W-OMS-RCQ (paper §VII-B, the FPGA headline decoder):
+                    # OMS offset transform followed by RCQ quantization
+                    val = max(raw - beta, 0.0)
+                    if alpha_in_cn:
+                        val = val - alpha_fn(t, i, j)
+                    val = qdq(np.asarray(sgn * val), t)
                 else:
                     raise ValueError(transform)
                 c2v[i, j] = val

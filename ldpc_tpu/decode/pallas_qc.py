@@ -123,8 +123,14 @@ def _make_cn_kernel(qc: QCGraph, spec: VariantSpec, row: int, L: int,
             elif spec.kind == "rcq":
                 out = _kernel_qdq(loo_sign * loo_mag, thr_ref, qp_ref,
                                   spec.q_levels)
-            else:  # wrcq
+            elif spec.kind == "wrcq":
                 out = _kernel_qdq(bb * loo_sign * loo_mag, thr_ref, qp_ref,
+                                  spec.q_levels)
+            else:  # orcq: W-OMS-RCQ (paper §VII-B)
+                off = jnp.maximum(loo_mag - bb, 0.0)
+                if spec.alpha_in_cn:
+                    off = off - alpha_ref[0, k]
+                out = _kernel_qdq(loo_sign * off, thr_ref, qp_ref,
                                   spec.q_levels)
             out_ref[k] = _roll(out.astype(dtype), shifts[k])
 

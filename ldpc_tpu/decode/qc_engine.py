@@ -237,8 +237,13 @@ def qc_decode_batch(
                     out = loo_sign * off
                 elif spec.kind == "rcq":
                     out = qdq(loo_sign * loo_mag)
-                else:  # wrcq
+                elif spec.kind == "wrcq":
                     out = qdq(bb * loo_sign * loo_mag)
+                else:  # orcq: W-OMS-RCQ (paper §VII-B)
+                    off = jax.nn.relu(loo_mag - bb)
+                    if spec.alpha_in_cn:
+                        off = off - ab
+                    out = qdq(loo_sign * off)
                 c2v_va[b] = jnp.roll(out.astype(v2c.dtype), shifts[b], axis=0)
 
         # ---- variable-node update, per base col ----
@@ -316,8 +321,13 @@ def qc_decode_batch(
                 out = loo_sign * off
             elif spec.kind == "rcq":
                 out = qdq(loo_sign * loo_mag)
-            else:  # wrcq
+            elif spec.kind == "wrcq":
                 out = qdq(bb * loo_sign * loo_mag)
+            else:  # orcq: W-OMS-RCQ (paper §VII-B)
+                off = jax.nn.relu(loo_mag - bb)
+                if spec.alpha_in_cn:
+                    off = off - ab
+                out = qdq(loo_sign * off)
             out = out.astype(v2c.dtype)
             for i in range(qc.mb):
                 c2v_va[ids[i]] = jnp.roll(out[i], shifts[ids[i]], axis=0)
@@ -499,8 +509,13 @@ def qc_decode_batch_layered(
                     out = loo_sign * off
                 elif spec.kind == "rcq":
                     out = qdq(loo_sign * loo_mag)
-                else:  # wrcq
+                elif spec.kind == "wrcq":
                     out = qdq(bb * loo_sign * loo_mag)
+                else:  # orcq: W-OMS-RCQ (paper §VII-B)
+                    off = jax.nn.relu(loo_mag - bb)
+                    if spec.alpha_in_cn:
+                        off = off - ab
+                    out = qdq(loo_sign * off)
                 new = jnp.roll(out, shifts[b], axis=0).astype(dtype)
                 j = cols[b]
                 colsum_list[j] = colsum_list[j] + (new - c2v_list[b])

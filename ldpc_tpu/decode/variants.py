@@ -70,6 +70,7 @@ __all__ = [
     "neural_2d_offset_min_sum",
     "rcq_min_sum",
     "weighted_rcq",
+    "weighted_oms_rcq",
     "param_count",
 ]
 
@@ -224,8 +225,16 @@ class Decoder:
         opts = dict(self.qc_options or {})
         ce = opts.get("check_every")
         if ce and T1 % ce:
-            # any divisor of T1 is valid; checking only at T1 is cheapest
-            opts["check_every"] = T1
+            # Silently changing the check schedule would break the freezing
+            # equivalence this method exists for: the truncated decoder must
+            # check the syndrome at exactly the iterations the full decoder
+            # does (a prefix of its schedule), or a frame can freeze at an
+            # iteration the parent never checks. Callers must pick T1 as a
+            # multiple of check_every.
+            raise ValueError(
+                f"T1={T1} is not a multiple of this decoder's "
+                f"check_every={ce}; the truncated decoder would check/freeze "
+                "on a different schedule than the full decoder")
         return dataclasses.replace(self, spec=spec, weights=weights,
                                    max_iterations=T1,
                                    qc_options=(opts or None))
@@ -292,11 +301,11 @@ def make_decoder(
         needs the general engine. With ``layered=True``, base rows are the
         layers (``qc_decode_batch_layered``).
     """
-    if kind not in ("ms", "nms", "oms", "rcq", "wrcq"):
+    if kind not in ("ms", "nms", "oms", "rcq", "wrcq", "orcq"):
         raise ValueError(
             f"unknown decoder kind {kind!r}; expected one of "
-            "'ms', 'nms', 'oms', 'rcq', 'wrcq'")
-    if qc is not None and kind in ("nms", "oms", "wrcq") and \
+            "'ms', 'nms', 'oms', 'rcq', 'wrcq', 'orcq'")
+    if qc is not None and kind in ("nms", "oms", "wrcq", "orcq") and \
             (sharing_type is None or sharing_type == 0):
         raise ValueError("per-edge (type 0) weights need the general "
                          "engine; omit qc= or use sharing types 1-4")
@@ -304,18 +313,18 @@ def make_decoder(
     T = max_iterations if max_iterations is not None else code.max_iterations
     key = jax.random.PRNGKey(seed)
 
-    offset_style = kind == "oms"
+    offset_style = kind in ("oms", "orcq")
     thresholds = None
     v2c_thresholds = None
     qparams = None
     q_levels = 0
     v2c_qparams = None
     v2c_levels = 0
-    if kind in ("rcq", "wrcq"):
+    if kind in ("rcq", "wrcq", "orcq"):
         thresholds = stack_quantizer_thresholds(bc, quantizer_params, T)
         qparams = stack_quantizer_params(quantizer_params, T)
         q_levels = 2 ** (bc - 1)
-    if bv is not None and kind in ("rcq", "wrcq"):
+    if bv is not None and kind in ("rcq", "wrcq", "orcq"):
         vparams = (v2c_quantizer_params if v2c_quantizer_params is not None
                    else [(C * 2.0, g) for C, g in quantizer_params])
         v2c_thresholds = stack_quantizer_thresholds(bv, vparams, T)
@@ -339,7 +348,8 @@ def make_decoder(
                   else _bucket_wiring(graph, st, offset_style))
         (beta_idx, n_beta, alpha_idx, n_alpha,
          fixed_beta, fixed_alpha, alpha_in_cn) = wiring
-        engine_kind = {"nms": "nms", "oms": "oms", "wrcq": "wrcq"}[kind]
+        engine_kind = {"nms": "nms", "oms": "oms", "wrcq": "wrcq",
+                       "orcq": "orcq"}[kind]
         spec = VariantSpec(
             kind=engine_kind,
             beta_idx=beta_idx,
@@ -370,7 +380,8 @@ def make_decoder(
                                 beta_mean=beta_mean, alpha_mean=alpha_mean)
         base = {"nms": "N-NMS" if st == 0 else f"N-2D-NMS(t{st})",
                 "oms": "N-OMS" if st == 0 else f"N-2D-OMS(t{st})",
-                "wrcq": f"W-RCQ(t{st},bc={bc})"}[kind]
+                "wrcq": f"W-RCQ(t{st},bc={bc})",
+                "orcq": f"W-OMS-RCQ(t{st},bc={bc})"}[kind]
         dname = name or base
 
     layer_checks = (make_layers(graph, num_layers)
@@ -425,6 +436,25 @@ def rcq_min_sum(code, bc: int = 3, bv: Optional[int] = None,
     return make_decoder(code, kind="rcq", bc=bc, bv=bv,
                         quantizer_params=quantizer_params,
                         max_iterations=max_iterations, layered=layered, **kw)
+
+
+def weighted_oms_rcq(code, bc: int = 3, bv: Optional[int] = None,
+                     quantizer_params=((3.0, 1.3), (5.0, 1.3), (7.0, 1.3)),
+                     weight_sharing_type: int = 2, max_iterations=None,
+                     layered: bool = False, seed=0, **kw):
+    """W-OMS-RCQ: degree-shared OMS offsets + RCQ quantization —
+    ``c2v = qdq(sign * (relu(mag - beta) - alpha))``.
+
+    The paper's FPGA headline decoder (§VII-B, Table III: W-OMS-RCQ(3,8)
+    saves 22.8% LUTs vs 5-bit OMS). NOT in the reference — its
+    ``WeightedRCQDecoder`` is beta-multiply only (``rcq_decoder.py:559-563``);
+    this combines that RCQ skeleton with the reference's 2D-OMS transform
+    (``neural_2d_decoder.py:400-401``)."""
+    return make_decoder(code, kind="orcq", bc=bc, bv=bv,
+                        quantizer_params=quantizer_params,
+                        sharing_type=weight_sharing_type,
+                        max_iterations=max_iterations, layered=layered,
+                        seed=seed, **kw)
 
 
 def weighted_rcq(code, bc: int = 3, bv: Optional[int] = None,

@@ -173,14 +173,25 @@ def _make_compacting_wave_fn(decoder: Decoder, wave_size: int,
     statistics equal the full-depth wave's bit-for-bit.
     """
     n = decoder.code.n
+    ce = (decoder.qc_options or {}).get("check_every")
+    if ce and early_iters % ce:
+        # stage-1 convergence must be judged on the SAME check schedule as
+        # the full decoder (Decoder.truncated raises otherwise); round the
+        # truncation depth up to the next check boundary — still exact,
+        # just slightly deeper than requested
+        early_iters = ((early_iters + ce - 1) // ce) * ce
+    T1 = early_iters
     short = decoder.truncated(early_iters)
     S = survivor_budget
     full_fn = _make_wave_fn(decoder, wave_size)
 
+    def _cut(w):  # the truncated decoder consumes [:T1]-sliced weights
+        return jax.tree_util.tree_map(lambda a: a[:T1], w)
+
     @jax.jit
-    def stage1(key, snr_db):
+    def stage1(key, snr_db, weights):
         llr = awgn_llr(key, jnp.zeros((wave_size, n), jnp.float32), snr_db)
-        out = short(llr)
+        out = short(llr, _cut(weights))
         conv = out.success
         wrong = jnp.sum(out.bits, axis=-1)
         fe = jnp.sum((wrong > 0) & conv)
@@ -191,8 +202,8 @@ def _make_compacting_wave_fn(decoder: Decoder, wave_size: int,
         return fe, be, it, sc, wave_size - sc, llr[idx]
 
     @jax.jit
-    def stage2(surv_llr, n_surv):
-        out = decoder(surv_llr)
+    def stage2(surv_llr, n_surv, weights):
+        out = decoder(surv_llr, weights)
         valid = jnp.arange(S) < n_surv
         wrong = jnp.sum(out.bits, axis=-1)
         fe = jnp.sum((wrong > 0) & valid)
@@ -202,7 +213,7 @@ def _make_compacting_wave_fn(decoder: Decoder, wave_size: int,
         return fe, be, it, sc
 
     def wave(key, snr_db, weights):
-        fe1, be1, it1, sc1, n_surv, surv_llr = stage1(key, snr_db)
+        fe1, be1, it1, sc1, n_surv, surv_llr = stage1(key, snr_db, weights)
         n_surv = int(n_surv)
         if n_surv == 0:
             return fe1, be1, it1, sc1
@@ -210,7 +221,7 @@ def _make_compacting_wave_fn(decoder: Decoder, wave_size: int,
             # survivor overflow (low-SNR operating point): the compaction
             # assumption doesn't hold — decode the whole wave at full depth
             return full_fn(key, snr_db, weights)
-        fe2, be2, it2, sc2 = stage2(surv_llr, n_surv)
+        fe2, be2, it2, sc2 = stage2(surv_llr, n_surv, weights)
         return fe1 + fe2, be1 + be2, it1 + it2, sc1 + sc2
 
     return wave
@@ -367,8 +378,12 @@ class LDPCSimulator:
 
     # -- persistence (format-compatible with simulation_framework.py:338-382)
 
-    def save_results(self, filename: str,
-                     results: Optional[Dict[str, SimulationResult]] = None):
+    def save_results(self,
+                     results: Optional[Dict[str, SimulationResult]] = None,
+                     filename: str = "simulation_results.json"):
+        """Argument order matches the reference's ``save_results(results,
+        filename)`` (``simulation_framework.py:338``) so ported callers work
+        positionally; pass ``filename=`` alone to save ``self.results``."""
         results = results if results is not None else self.results
         os.makedirs(self.config.results_dir, exist_ok=True)
         path = os.path.join(self.config.results_dir, filename)

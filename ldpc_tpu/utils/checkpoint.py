@@ -40,8 +40,15 @@ def save_checkpoint(path: str, tree: Any) -> str:
     return path
 
 
-def load_checkpoint(path: str) -> Any:
-    """Restore a pytree saved by :func:`save_checkpoint`."""
+def load_checkpoint(path: str, item: Any = None) -> Any:
+    """Restore a pytree saved by :func:`save_checkpoint`.
+
+    ``item``: optional template pytree — the restore is mapped into its
+    exact structure (NamedTuple fields, tuple order), which matters for
+    optax states whose flatten order differs from orbax's sorted-dict
+    order."""
+    if item is not None:
+        return _checkpointer().restore(os.path.abspath(path), item=item)
     return _checkpointer().restore(os.path.abspath(path))
 
 
@@ -74,22 +81,48 @@ def save_trainer_checkpoint(path: str, trainer, epoch: int) -> str:
 
 def load_trainer_checkpoint(path: str, trainer) -> int:
     """Restore state saved by :func:`save_trainer_checkpoint` into
-    ``trainer``; returns the saved epoch."""
-    state = load_checkpoint(path)
+    ``trainer``; returns the saved epoch.
+
+    The optimizer state is restored INTO a freshly-initialized template
+    (``orbax`` item-restore), so NamedTuple field order is preserved
+    regardless of orbax's sorted-dict flatten order, and any structure
+    mismatch (different optimizer, different weight shapes) raises instead
+    of silently resuming with reset Adam moments."""
+    raw = load_checkpoint(path)
     w = dict(trainer.decoder.weights)
-    for k, v in state["weights"].items():
+    for k, v in raw["weights"].items():
+        cur = w.get(k)
+        if cur is None or np.shape(cur) != np.shape(v):
+            raise ValueError(
+                f"checkpoint weight {k!r} has shape {np.shape(v)} but this "
+                f"trainer's decoder expects "
+                f"{None if cur is None else np.shape(cur)}; refusing to "
+                "resume into a mismatched decoder")
         w[k] = v
-    trainer.decoder.weights = w
-    restored = jax.tree_util.tree_map(lambda x: x, state["opt_state"])
-    # opt_state was saved as a plain pytree; rebuild the optax structure by
-    # flattening into the freshly-initialized state's treedef
     fresh = trainer.optimizer.init(
         {k: v for k, v in w.items() if v is not None})
-    fresh_leaves, treedef = jax.tree_util.tree_flatten(fresh)
-    saved_leaves = jax.tree_util.tree_leaves(restored)
-    if len(saved_leaves) == len(fresh_leaves):
-        trainer.opt_state = jax.tree_util.tree_unflatten(
-            treedef, saved_leaves)
+    template = {
+        "weights": {k: v for k, v in w.items() if v is not None},
+        "opt_state": fresh,
+        "epoch": np.int64(0),
+    }
+    try:
+        state = load_checkpoint(path, item=template)
+    except Exception as e:
+        raise ValueError(
+            f"checkpoint at {path} does not match this trainer's "
+            "weight/optimizer structure; refusing to resume with a "
+            f"partially-restored state ({e})") from e
+    saved_leaves = jax.tree_util.tree_leaves(state["opt_state"])
+    fresh_leaves = jax.tree_util.tree_flatten(fresh)[0]
+    if len(saved_leaves) != len(fresh_leaves) or any(
+            np.shape(s) != np.shape(f)
+            for s, f in zip(saved_leaves, fresh_leaves)):
+        raise ValueError(
+            f"optimizer state in {path} has a different structure than "
+            "this trainer's optimizer; refusing to silently reinitialize")
+    trainer.decoder.weights = w
+    trainer.opt_state = state["opt_state"]
     hist_path = os.path.join(path, "history.json")
     if os.path.exists(hist_path):
         with open(hist_path) as f:

@@ -18,13 +18,13 @@ def _random_llrs(code, batch, seed=0, scale=2.0):
 
 def _check_against_oracle(decoder, code, llrs, *, beta_fn=None, alpha_fn=None,
                           transform="nms", alpha_in_cn=False, qdq=None,
-                          atol=1e-4):
+                          quantize_v2c=None, atol=1e-4):
     out = decoder(jnp.asarray(llrs))
     for b in range(llrs.shape[0]):
         bits, post, iters, ok = oracle_decode(
             code.H, llrs[b], decoder.max_iterations,
             beta_fn=beta_fn, alpha_fn=alpha_fn, transform=transform,
-            alpha_in_cn=alpha_in_cn, qdq=qdq)
+            alpha_in_cn=alpha_in_cn, qdq=qdq, quantize_v2c=quantize_v2c)
         np.testing.assert_array_equal(
             np.asarray(out.bits[b]), bits,
             err_msg=f"bits mismatch frame {b}")
@@ -193,3 +193,41 @@ def test_single_vector_call(test_code):
     assert bool(out.success)
     bits, success, iters = dec.decode(jnp.full((7,), 5.0))
     assert bits.shape == (7,) and bool(success) and int(iters) == 1
+
+
+def test_oms_rcq_vs_oracle(test_code, test_graph):
+    """W-OMS-RCQ: qdq(sign * (relu(mag - beta) - alpha)) — the paper's
+    FPGA headline decoder (§VII-B), absent from the reference."""
+    qp = [(3.0, 1.3), (5.0, 1.3), (7.0, 1.3)]
+    dec = ldpc_tpu.weighted_oms_rcq(test_code, bc=3, quantizer_params=qp,
+                                    weight_sharing_type=2, seed=9)
+    llrs = _random_llrs(test_code, 8, seed=9)
+    g = test_graph
+    dcs, dvs = g.unique_dc, g.unique_dv
+    beta = np.asarray(dec.weights["beta"])
+    alpha = np.asarray(dec.weights["alpha"])
+    cdeg, vdeg = g.check_degree, g.var_degree
+    _check_against_oracle(
+        dec, test_code, llrs, transform="orcq", alpha_in_cn=True,
+        beta_fn=lambda t, i, j: float(beta[t, dcs.index(int(cdeg[i]))]),
+        alpha_fn=lambda t, i, j: float(alpha[t, dvs.index(int(vdeg[j]))]),
+        qdq=_np_qdq(3, qp, dec.max_iterations))
+
+
+def test_oms_rcq_bv_vs_oracle(test_code, test_graph):
+    """W-OMS-RCQ with bv-bit V2C/posterior quantization active."""
+    qp = [(5.0, 1.3)]
+    dec = ldpc_tpu.weighted_oms_rcq(test_code, bc=4, bv=6,
+                                    quantizer_params=qp,
+                                    weight_sharing_type=3, seed=10)
+    llrs = _random_llrs(test_code, 8, seed=10)
+    g = test_graph
+    dcs = g.unique_dc
+    beta = np.asarray(dec.weights["beta"])
+    cdeg = g.check_degree
+    vq = _np_qdq(6, [(C * 2.0, gm) for C, gm in qp], dec.max_iterations)
+    _check_against_oracle(
+        dec, test_code, llrs, transform="orcq", alpha_in_cn=True,
+        beta_fn=lambda t, i, j: float(beta[t, dcs.index(int(cdeg[i]))]),
+        alpha_fn=lambda t, i, j: 0.0,
+        qdq=_np_qdq(4, qp, dec.max_iterations), quantize_v2c=vq)

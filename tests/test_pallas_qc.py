@@ -38,6 +38,7 @@ def _setup(seed=0, density=1.0, lift=16, mb=3, nb=8, T=6, **kw):
     dict(kind="rcq", bc=3, bv=8,
          quantizer_params=((3.0, 1.3), (5.0, 1.3), (7.0, 1.3))),
     dict(kind="wrcq", bc=4, sharing_type=2, seed=6, init="nms"),
+    dict(kind="orcq", bc=3, sharing_type=2, seed=7),
 ])
 def test_pallas_matches_qc_engine(kw):
     code, qc, dec = _setup(density=0.8, **kw)

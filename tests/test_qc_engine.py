@@ -58,6 +58,8 @@ T = 6
     dict(kind="rcq", bc=3, bv=8,
          quantizer_params=((3.0, 1.3), (5.0, 1.3), (7.0, 1.3))),
     dict(kind="wrcq", bc=4, sharing_type=2, seed=6, init="nms"),
+    dict(kind="orcq", bc=3, sharing_type=2, seed=7),
+    dict(kind="orcq", bc=4, bv=8, sharing_type=3, seed=8),
 ])
 def test_qc_matches_general(kw):
     base = _base(3, 8, 16, seed=0, density=0.8)
@@ -244,6 +246,7 @@ def test_qc_options_respected_and_training_unaffected():
     dict(kind="oms", sharing_type=1, seed=2),
     dict(kind="rcq", bc=3, bv=8),
     dict(kind="wrcq", bc=4, sharing_type=3, seed=3, init="nms"),
+    dict(kind="orcq", bc=3, sharing_type=2, seed=4),
 ])
 def test_qc_row_batched_matches_general(kw):
     """Row-regular protographs take the row-batched CN path; must stay

@@ -116,3 +116,46 @@ def test_snr_at_fer_interpolation():
     # out of range
     assert snr_at_fer(snrs, fers, 1e-6) is None
     assert snr_at_fer([1.0], [0.1], 0.1) is None
+
+
+def test_trainer_checkpoint_restores_adam_moments(test_code, tmp_path):
+    """Resume must restore the optimizer's moments exactly — not silently
+    reinitialize them (VERDICT r1 weak #6)."""
+    from ldpc_tpu.train import PosteriorJointTrainer, TrainingConfig
+
+    cfg = TrainingConfig(batch_size=32, num_epochs=1)
+    dec = ldpc_tpu.neural_min_sum(test_code, max_iterations=5, seed=0)
+    tr = PosteriorJointTrainer(dec, cfg)
+    tr.train(num_samples=64, verbose=False)
+    path = save_trainer_checkpoint(str(tmp_path / "ck"), tr, epoch=2)
+
+    dec2 = ldpc_tpu.neural_min_sum(test_code, max_iterations=5, seed=42)
+    tr2 = PosteriorJointTrainer(dec2, cfg)
+    assert load_trainer_checkpoint(path, tr2) == 2
+    a = jax.tree_util.tree_leaves(tr.opt_state)
+    b = jax.tree_util.tree_leaves(tr2.opt_state)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+    # trained moments are non-trivial, so equality above is meaningful
+    assert any(np.any(np.asarray(x) != 0) for x in a)
+
+
+def test_trainer_checkpoint_structure_mismatch_raises(test_code, tmp_path):
+    """Restoring into a trainer with different weight structure must raise,
+    never silently reset Adam state."""
+    import pytest
+
+    from ldpc_tpu.train import PosteriorJointTrainer, TrainingConfig
+
+    cfg = TrainingConfig(batch_size=32, num_epochs=1)
+    dec = ldpc_tpu.neural_min_sum(test_code, max_iterations=5, seed=0)
+    tr = PosteriorJointTrainer(dec, cfg)
+    tr.train(num_samples=64, verbose=False)
+    path = save_trainer_checkpoint(str(tmp_path / "ck"), tr, epoch=1)
+
+    # different T -> different weight shapes -> must refuse
+    dec2 = ldpc_tpu.neural_min_sum(test_code, max_iterations=7, seed=0)
+    tr2 = PosteriorJointTrainer(dec2, cfg)
+    with pytest.raises(ValueError):
+        load_trainer_checkpoint(path, tr2)

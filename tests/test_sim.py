@@ -67,7 +67,7 @@ def test_sweep_and_json_roundtrip(test_code, tmp_path):
     assert set(results) == {"Basic", "RCQ"}
     assert len(results["Basic"].frame_error_rates) == 3
 
-    path = sim.save_results("out.json")
+    path = sim.save_results(filename="out.json")
     with open(path) as f:
         raw = json.load(f)
     # reference-compatible keys (simulation_framework.py:344-353)
@@ -203,3 +203,40 @@ def test_simulate_decoder_resume(test_code, tmp_path):
                                                   checkpoint=ck)
     assert resumed.frame_error_rates == full.frame_error_rates
     assert resumed.total_frames == full.total_frames
+
+
+def test_truncated_raises_on_incompatible_check_every():
+    """A truncation depth off the parent's syndrome-check schedule must be
+    rejected (silently rescheduling checks breaks freezing equivalence)."""
+    from ldpc_tpu.decode.qc_engine import build_qc_graph
+
+    base = np.array([[0, 1, 2], [2, 0, 1]])
+    code = ldpc_tpu.create_qc_code(base, lift=8, max_iterations=8)
+    qc = build_qc_graph(base, 8)
+    dec = ldpc_tpu.rcq_min_sum(code, bc=4, max_iterations=8, qc=qc,
+                               qc_options={"check_every": 4})
+    with pytest.raises(ValueError):
+        dec.truncated(3)
+    short = dec.truncated(4)  # on the schedule: fine
+    assert short.max_iterations == 4
+
+
+def test_compacting_wave_honors_passed_weights(mid_code):
+    """wave(key, snr, weights) must decode with the PASSED weights on every
+    path (stage1, stage2, overflow fallback), not the weights captured at
+    build time."""
+    from ldpc_tpu.sim.montecarlo import (_make_compacting_wave_fn,
+                                         _make_wave_fn)
+
+    dec = ldpc_tpu.neural_2d_min_sum(mid_code, weight_sharing_type=3,
+                                     max_iterations=15, init="nms")
+    # alternative weights that decode differently from dec.weights
+    alt = {k: (None if w is None else w * 0.5)
+           for k, w in dec.weights.items()}
+    full = _make_wave_fn(dec, 512)
+    comp = _make_compacting_wave_fn(dec, 512, early_iters=3,
+                                    survivor_budget=384)
+    key = jax.random.PRNGKey(7)
+    a = tuple(int(v) for v in full(key, jnp.float32(2.0), alt))
+    b = tuple(int(v) for v in comp(key, jnp.float32(2.0), alt))
+    assert a == b
