@@ -18,6 +18,10 @@ from ldpc_tpu.codes import (
     create_pbrl_like_code,
     create_peg_code,
     create_qc_code,
+    create_tanner_155,
+    create_array_code,
+    tanner_155_base,
+    gf2_rank,
     create_random_regular_code,
     create_test_ldpc_code,
     load_alist,

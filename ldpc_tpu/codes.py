@@ -31,6 +31,10 @@ __all__ = [
     "create_random_regular_code",
     "create_peg_code",
     "create_qc_code",
+    "create_tanner_155",
+    "tanner_155_base",
+    "create_array_code",
+    "gf2_rank",
     "create_dvbs2_like_code",
     "create_pbrl_like_code",
     "load_alist",
@@ -607,3 +611,78 @@ def create_dvbs2_qc_protograph(
         if p > 0:
             B[p, kb + p - 1] = 0
     return B, lift
+
+
+# -- published-construction QC codes ----------------------------------------
+# Real codes from the coding literature, generated from their published
+# closed-form constructions (this environment has no network access to fetch
+# standards' shift tables, so we ship codes whose exact H is *derivable*).
+# Both are quasi-cyclic and decode through the QC roll engine.
+
+
+def gf2_rank(H: np.ndarray) -> int:
+    """Rank of a {0,1} matrix over GF(2) (row reduction on bigint rows)."""
+    H = np.asarray(H, dtype=np.uint8)
+    rows = []
+    for r in H:
+        x = 0
+        for j in np.flatnonzero(r):
+            x |= 1 << int(j)
+        rows.append(x)
+    rank = 0
+    for j in range(H.shape[1]):
+        msk = 1 << j
+        piv = next((i for i in range(rank, len(rows)) if rows[i] & msk), None)
+        if piv is None:
+            continue
+        rows[rank], rows[piv] = rows[piv], rows[rank]
+        for i in range(len(rows)):
+            if i != rank and rows[i] & msk:
+                rows[i] ^= rows[rank]
+        rank += 1
+        if rank == len(rows):
+            break
+    return rank
+
+
+def tanner_155_base() -> np.ndarray:
+    """Base matrix of the Tanner (155, 64, 20) QC-LDPC code.
+
+    Published construction (Tanner, Sridhara & Fuja 2001): a 3x5 array of
+    31x31 circulants with shift ``5^i * 2^j mod 31`` (5 has multiplicative
+    order 3 and 2 has order 5 mod 31). The resulting (3,5)-regular code has
+    n=155, GF(2) rank 91 => k=64, girth 8, minimum distance 20 — the
+    classic benchmark QC code of the LDPC literature.
+    """
+    return np.array([[(pow(5, i, 31) * pow(2, j, 31)) % 31
+                      for j in range(5)] for i in range(3)])
+
+
+def create_tanner_155(max_iterations: int = 50) -> LDPCCode:
+    """The Tanner (155, 64, 20) code (see :func:`tanner_155_base`).
+
+    ``k`` reflects the true GF(2) dimension (H's 93 rows have rank 91),
+    verified at construction time.
+    """
+    code = create_qc_code(tanner_155_base(), lift=31,
+                          max_iterations=max_iterations)
+    k = code.n - gf2_rank(code.H)
+    assert k == 64, f"Tanner construction broken: k={k}"
+    return LDPCCode(n=code.n, k=k, H=code.H, max_iterations=max_iterations)
+
+
+def create_array_code(p: int, j_rows: int = 3, k_cols: int = 5,
+                      max_iterations: int = 50) -> LDPCCode:
+    """Array LDPC code (Fan 2000): ``j_rows x k_cols`` array of ``p x p``
+    circulants with shift ``i*l mod p`` (p prime, i row index, l column
+    index). (j,k)-regular, girth >= 6; a standard deterministic QC family
+    used throughout the literature (and the structural template of many
+    standardized codes). ``k`` is the true GF(2) dimension.
+    """
+    if j_rows >= k_cols:
+        raise ValueError("need j_rows < k_cols for a nontrivial code rate")
+    base = np.array([[(i * l) % p for l in range(k_cols)]
+                     for i in range(j_rows)])
+    code = create_qc_code(base, lift=p, max_iterations=max_iterations)
+    k = code.n - gf2_rank(code.H)
+    return LDPCCode(n=code.n, k=k, H=code.H, max_iterations=max_iterations)

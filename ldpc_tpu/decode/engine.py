@@ -390,9 +390,10 @@ def make_layers(graph: DecoderGraph, num_layers: Optional[int] = None):
 
 
 @partial(jax.jit, static_argnames=("graph", "spec", "max_iterations", "ste",
-                                   "layers_key"))
+                                   "layers_key", "return_trajectory"))
 def _decode_layered_impl(llr, weights, layer_checks, *, graph, spec,
-                         max_iterations, ste, layers_key):
+                         max_iterations, ste, layers_key,
+                         return_trajectory=False):
     T = max_iterations
     llr_T = llr.T.astype(jnp.float32)
     B = llr_T.shape[-1]
@@ -504,34 +505,40 @@ def _decode_layered_impl(llr, weights, layer_checks, *, graph, spec,
         post_out = jnp.where(done[None, :], post_frozen, post)
         iters = jnp.where(done, iters, t + 1)
         done = done | ok
-        return (c2v_ext, colsum, done, iters, post_out), None
+        ys = post.T if return_trajectory else None
+        return (c2v_ext, colsum, done, iters, post_out), ys
 
     c2v_ext0 = jnp.zeros((E + 1, B), jnp.float32)
     colsum0 = jnp.zeros((graph.n, B), jnp.float32)
     state0 = (c2v_ext0, colsum0, jnp.zeros((B,), bool),
               jnp.zeros((B,), jnp.int32), llr_T)
-    state, _ = jax.lax.scan(one_iteration, state0,
-                            _scan_xs(spec, weights, T))
+    state, ys = jax.lax.scan(one_iteration, state0,
+                             _scan_xs(spec, weights, T))
     _, _, done, iters, post = state
     post = post.T
     bits = (post < 0).astype(jnp.int32)
     return DecodeResult(bits=bits, posterior=post, iterations=iters,
-                        success=done)
+                        success=done,
+                        posteriors_all=ys if return_trajectory else None)
 
 
 def decode_batch_layered(llr, weights, layer_checks, *, graph, spec,
-                         max_iterations, ste=False):
+                         max_iterations, ste=False,
+                         return_trajectory=False):
     """Layered-schedule batched decode.
 
     Correct layered semantics — persistent per-edge c2v memory and an
     incrementally-maintained posterior/column-sum, updated layer by layer —
     i.e. what the reference's ``_decode_layered`` *tried* to do
     (``rcq_decoder.py:281-350``) before zeroing its own message memory
-    (SURVEY §8.3).
+    (SURVEY §8.3). ``return_trajectory`` exposes every iteration's
+    end-of-sweep posterior so posterior-joint training works on layered
+    decoders too.
     """
     return _decode_layered_impl(
         llr, weights, np.asarray(layer_checks), graph=graph, spec=spec,
         max_iterations=max_iterations, ste=ste,
+        return_trajectory=return_trajectory,
         layers_key=(layer_checks.shape if hasattr(layer_checks, "shape")
                     else len(layer_checks)),
     )

@@ -1,0 +1,286 @@
+"""Whole-decode VMEM-resident Pallas kernel for QC codes.
+
+The per-row/per-column kernels in ``pallas_qc.py`` cut launch count ~30x
+but still round-trip the message state through HBM between every launch —
+and profiling showed the XLA QC engine's decode time is dominated by
+exactly that state movement (the v2c state for the bench code at B=8192
+is ~775 MB in bf16; every CN/VN fusion re-streams it). This kernel keeps
+the ENTIRE message state resident in VMEM for the full decode:
+
+- grid = one step per batch tile of ``batch_tile`` codewords;
+- per step: the tile's channel LLRs stream in (double-buffered by the
+  BlockSpec machinery), the c2v/v2c state lives in a single
+  ``[NB, batch_tile, lift]`` VMEM scratch for all ``T`` iterations, and
+  only the final posterior streams out. HBM traffic collapses from
+  O(state * iterations) to O(llr + posterior).
+
+Layout: blocks are stored ``[batch_tile, lift]`` — batch on sublanes,
+lift on LANES — so circulant shifts are lane rolls and a 64-codeword tile
+still fills all 128 lanes when lift is a multiple of 128 (the natural QC
+lifts: 256 for the paper's (9472, 8192) family, 360 for DVB-S2).
+
+The state buffer is check-aligned and updated in place: the CN update
+(running min1/min2/first-argmin tree, negative-count sign parity, variant
+transform) reads and writes it roll-free row by row; the VN update
+re-aligns per column with two lane rolls per block. Same message
+arithmetic, in the same order, as ``qc_engine.cn_and_vn_row_batched`` /
+``cn_and_vn`` — bit-exact in float32 (``tests/test_pallas_fused.py``).
+
+Semantics: ``qc_decode_batch(..., check_every=max_iterations)`` — the
+syndrome is evaluated once after the final iteration (by a cheap XLA
+epilogue on the kernel's posterior output), so ``iterations`` is ``T``
+for every frame and ``success`` is the final syndrome. That is the
+configuration the headline bench and the simulator's compaction stage
+use; finer check granularity stays on the XLA engine. Inference-only
+(training uses the differentiable XLA engines). Reference behavioral
+contract: SURVEY.md §2b (``ldpc_decoder.py:79-153``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ldpc_tpu.decode.engine import DecodeResult, VariantSpec
+from ldpc_tpu.decode.qc_engine import QCGraph
+from ldpc_tpu.quantizer import power_qdq
+
+__all__ = ["qc_fused_decode_batch"]
+
+# VMEM is ~16 MB/core on v5e; leave headroom for the double-buffered
+# llr/posterior blocks and the min-tree temporaries.
+_STATE_BYTES_LIMIT = 11 * 2 ** 20
+
+
+def _roll_lanes(x: jnp.ndarray, s: int) -> jnp.ndarray:
+    """``jnp.roll(x, s, axis=-1)`` with a static shift: two contiguous
+    lane slices + concat (the QC circulant permutation in [bt, L] layout)."""
+    L = x.shape[-1]
+    s = s % L
+    if s == 0:
+        return x
+    return jnp.concatenate([x[..., L - s:], x[..., :L - s]], axis=-1)
+
+
+def _kernel_qdq(x, t, thr_ref, qp_ref, levels: int, use_power: bool):
+    """This iteration's quantize-dequantize, mirroring ``engine._make_qdq``:
+    closed-form power law for big LUTs, exact staircase for small ones.
+    ``t`` is the (traced) iteration index; threshold/param reads are SMEM
+    scalars.
+
+    Math runs in float32: widening bf16 input is value-exact, and Mosaic
+    on v5e rejects bf16 vector compares ("Target does not support this
+    comparison") that the power/staircase forms would otherwise emit."""
+    x = x.astype(jnp.float32)
+    if use_power:
+        return power_qdq(x, qp_ref[t, 0], qp_ref[t, 1], levels)
+    mag = jnp.abs(x)
+    snapped = jnp.zeros_like(mag)
+    for j in range(1, levels):
+        step = thr_ref[t, j] - thr_ref[t, j - 1]
+        snapped = snapped + jnp.where(mag >= thr_ref[t, j], step, 0.0)
+    return jnp.where(x < 0, -snapped, snapped)
+
+
+def _make_kernel(qc: QCGraph, spec: VariantSpec, T: int, bt: int, dtype):
+    NB = qc.num_blocks
+    L = qc.lift
+    shifts = [int(s) for s in qc.block_shift]
+    cols = [int(c) for c in qc.block_col]
+    row_blocks = [list(r) for r in qc.row_blocks]
+    col_blocks = [list(c) for c in qc.col_blocks]
+    INF = float("inf")
+
+    q_power = spec.qparams is not None and spec.q_levels > 16
+    with_vqdq = (spec.v2c_qparams is not None or
+                 spec.v2c_thresholds is not None)
+    v_power = spec.v2c_qparams is not None and spec.v2c_levels > 16
+
+    def kernel(llr_ref, beta_ref, alpha_ref, thr_ref, qp_ref, vthr_ref,
+               vqp_ref, post_ref, S):
+        # init: check-aligned v2c = rolled channel LLRs (SURVEY §2b step 2)
+        for b in range(NB):
+            S[b] = _roll_lanes(llr_ref[cols[b]], -shifts[b])
+
+        def body(t, carry):
+            # ---- check-node update, row by row, in place ----
+            for blocks in row_blocks:
+                dc = len(blocks)
+                # pass 1: running (min1, min2, first-argmin) + sign parity
+                x0 = S[blocks[0]][...].astype(jnp.float32)
+                min1 = jnp.abs(x0)
+                min2 = jnp.full_like(min1, INF)
+                argm = jnp.zeros(min1.shape, jnp.int32)
+                neg_cnt = (x0 < 0).astype(jnp.int32)
+                for k in range(1, dc):
+                    xk = S[blocks[k]][...].astype(jnp.float32)
+                    mk = jnp.abs(xk)
+                    new_min = mk < min1
+                    min2 = jnp.where(new_min, min1, jnp.minimum(min2, mk))
+                    min1 = jnp.where(new_min, mk, min1)
+                    argm = jnp.where(new_min, k, argm)
+                    neg_cnt = neg_cnt + (xk < 0).astype(jnp.int32)
+                if dc == 1:
+                    min2 = min1  # degree-1 checks (ldpc_decoder.py:112-115)
+                # pass 2: leave-one-out + variant transform, write back
+                for k in range(dc):
+                    b = blocks[k]
+                    xk = S[b][...].astype(jnp.float32)
+                    loo_mag = jnp.where(argm == k, min2, min1)
+                    loo_neg = (neg_cnt - (xk < 0).astype(jnp.int32)) & 1
+                    loo_sign = 1.0 - 2.0 * loo_neg.astype(jnp.float32)
+                    bb = beta_ref[t, b]
+                    ab = alpha_ref[t, b]
+                    if spec.kind == "nms":
+                        out = bb * loo_sign * loo_mag
+                    elif spec.kind == "oms":
+                        off = jnp.maximum(loo_mag - bb, 0.0)
+                        if spec.alpha_in_cn:
+                            off = off - ab
+                        out = loo_sign * off
+                    elif spec.kind == "rcq":
+                        out = _kernel_qdq(loo_sign * loo_mag, t, thr_ref,
+                                          qp_ref, spec.q_levels, q_power)
+                    elif spec.kind == "wrcq":
+                        out = _kernel_qdq(bb * loo_sign * loo_mag, t,
+                                          thr_ref, qp_ref, spec.q_levels,
+                                          q_power)
+                    else:  # orcq: W-OMS-RCQ (paper §VII-B)
+                        off = jnp.maximum(loo_mag - bb, 0.0)
+                        if spec.alpha_in_cn:
+                            off = off - ab
+                        out = _kernel_qdq(loo_sign * off, t, thr_ref,
+                                          qp_ref, spec.q_levels, q_power)
+                    S[b] = out.astype(dtype)
+
+            # ---- variable-node update, column by column, in place ----
+            # arithmetic runs in the storage dtype in the same order as
+            # qc_engine.cn_and_vn (colsum over the column's blocks in
+            # order) so the two paths agree bit-for-bit in float32
+            for j, blocks in enumerate(col_blocks):
+                ca = [_roll_lanes(S[b][...], shifts[b]) for b in blocks]
+                colsum = ca[0]
+                for k in range(1, len(blocks)):
+                    colsum = colsum + ca[k]
+                llr_j = llr_ref[j][...]
+                post = llr_j + colsum
+                for k, b in enumerate(blocks):
+                    ext = colsum - ca[k]
+                    if spec.alpha_in_cn:
+                        nv = llr_j + ext
+                    else:
+                        ab = alpha_ref[t, b]
+                        nv = llr_j + ab * ext
+                    if with_vqdq:
+                        nv = _kernel_qdq(nv, t, vthr_ref, vqp_ref,
+                                         spec.v2c_levels, v_power)
+                    S[b] = _roll_lanes(nv.astype(dtype), -shifts[b])
+                if with_vqdq:
+                    post = _kernel_qdq(post, t, vthr_ref, vqp_ref,
+                                       spec.v2c_levels, v_power)
+                post_ref[j] = post.astype(dtype)
+            return carry
+
+        jax.lax.fori_loop(0, T, body, 0)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("qc", "spec", "max_iterations", "dtype",
+                                   "batch_tile", "interpret"))
+def qc_fused_decode_batch(
+    llr: jnp.ndarray,            # [B, n]
+    weights,                     # {'beta': [T, n_beta], 'alpha': [T, n_alpha]}
+    *,
+    qc: QCGraph,
+    spec: VariantSpec,
+    max_iterations: int,
+    dtype=jnp.bfloat16,
+    batch_tile: int = 64,
+    interpret: bool = False,
+) -> DecodeResult:
+    """Flooding QC decode in ONE whole-decode Pallas kernel.
+
+    Contract == ``qc_decode_batch(..., check_every=max_iterations)``:
+    bits/posterior from the final iteration, ``success`` = final syndrome,
+    ``iterations`` = T for every frame. ``batch_tile`` codewords are
+    decoded per grid step with the full message state VMEM-resident; B
+    must be divisible by it.
+    """
+    T = max_iterations
+    Bsz, n = llr.shape
+    if Bsz % batch_tile:
+        raise ValueError(f"batch {Bsz} not divisible by tile {batch_tile}")
+    L = qc.lift
+    NB = qc.num_blocks
+    bt = batch_tile
+    state_bytes = NB * bt * L * jnp.dtype(dtype).itemsize
+    if state_bytes > _STATE_BYTES_LIMIT:
+        raise ValueError(
+            f"message state {state_bytes / 2**20:.1f} MB for "
+            f"batch_tile={bt} exceeds the VMEM budget "
+            f"({_STATE_BYTES_LIMIT / 2**20:.0f} MB); reduce batch_tile")
+
+    # [nb, B, L]: per-base-column tiles, batch on sublanes, lift on lanes
+    llr_blk = llr.astype(dtype).reshape(Bsz, qc.nb, L).transpose(1, 0, 2)
+
+    # per-(iteration, block) weight tables for SMEM scalar reads
+    if spec.beta_idx is not None:
+        beta_tab = weights["beta"][:, jnp.asarray(spec.beta_idx)]
+    else:
+        beta_tab = jnp.full((T, NB), spec.fixed_beta, jnp.float32)
+    if spec.alpha_idx is not None:
+        alpha_tab = weights["alpha"][:, jnp.asarray(spec.alpha_idx)]
+    else:
+        alpha_tab = jnp.full((T, NB), spec.fixed_alpha, jnp.float32)
+
+    def tab(a, w):
+        return (jnp.asarray(a, jnp.float32) if a is not None
+                else jnp.zeros((T, w), jnp.float32))
+
+    thr = tab(spec.thresholds, 1)
+    qp = tab(spec.qparams, 2)
+    vthr = tab(spec.v2c_thresholds, 1)
+    vqp = tab(spec.v2c_qparams, 2)
+
+    kernel = _make_kernel(qc, spec, T, bt, dtype)
+    grid = (Bsz // bt,)
+    blk = pl.BlockSpec((qc.nb, bt, L), lambda i: (0, i, 0),
+                       memory_space=pltpu.VMEM)
+    smem = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
+                                  memory_space=pltpu.SMEM)
+    post_blk = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[blk, smem(beta_tab), smem(alpha_tab), smem(thr),
+                  smem(qp), smem(vthr), smem(vqp)],
+        out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct((qc.nb, Bsz, L), dtype),
+        scratch_shapes=[pltpu.VMEM((NB, bt, L), dtype)],
+        interpret=interpret,
+    )(llr_blk, beta_tab.astype(jnp.float32),
+      alpha_tab.astype(jnp.float32), thr, qp, vthr, vqp)
+
+    post = post_blk.transpose(1, 0, 2).reshape(Bsz, n)  # [B, n]
+    bits = (post < 0).astype(jnp.int32)
+
+    # syndrome epilogue (XLA): same roll-based parity as qc_engine
+    bits_blocks = bits.T.reshape(qc.nb, L, Bsz)
+    ok = jnp.ones((Bsz,), bool)
+    for i in range(qc.mb):
+        par = jnp.zeros((L, Bsz), jnp.int32)
+        for b in qc.row_blocks[i]:
+            par = par ^ jnp.roll(bits_blocks[int(qc.block_col[b])],
+                                 -int(qc.block_shift[b]), axis=0)
+        ok = ok & ~jnp.any(par > 0, axis=0)
+
+    return DecodeResult(
+        bits=bits, posterior=post,
+        iterations=jnp.full((Bsz,), T, jnp.int32),
+        success=ok)

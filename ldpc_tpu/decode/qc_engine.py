@@ -421,7 +421,7 @@ def qc_decode_batch(
 
 
 @partial(jax.jit, static_argnames=("qc", "spec", "max_iterations", "ste",
-                                   "dtype"))
+                                   "dtype", "return_trajectory"))
 def qc_decode_batch_layered(
     llr: jnp.ndarray,            # [B, n]
     weights,
@@ -431,6 +431,7 @@ def qc_decode_batch_layered(
     max_iterations: int,
     ste: bool = False,
     dtype=jnp.float32,
+    return_trajectory: bool = False,
 ) -> DecodeResult:
     """Layered-schedule QC decode: base rows are the natural layers.
 
@@ -552,11 +553,13 @@ def qc_decode_batch_layered(
         done_prev = carry["done"]
         post_out = jnp.where(done_prev[None, None, :], carry["post"], post)
         iters = jnp.where(done_prev, carry["iters"], x["t"] + 1)
+        ys = post.reshape(qc.n, Bsz).T if return_trajectory else None
         return dict(c2v=c2v, colsum=colsum, post=post_out,
-                    done=done_prev | ok, iters=iters), None
+                    done=done_prev | ok, iters=iters), ys
 
-    carry, _ = jax.lax.scan(body, carry0, _scan_xs(spec, weights, T))
+    carry, ys = jax.lax.scan(body, carry0, _scan_xs(spec, weights, T))
     post = carry["post"].reshape(qc.n, Bsz).T
     bits = (post < 0).astype(jnp.int32)
     return DecodeResult(bits=bits, posterior=post,
-                        iterations=carry["iters"], success=carry["done"])
+                        iterations=carry["iters"], success=carry["done"],
+                        posteriors_all=ys if return_trajectory else None)

@@ -164,11 +164,13 @@ class Decoder:
         if self.layered and self.qc is not None:
             out = qc_decode_batch_layered(
                 llr, w, qc=self.qc, spec=self.spec,
-                max_iterations=self.max_iterations, ste=ste)
+                max_iterations=self.max_iterations, ste=ste,
+                return_trajectory=return_trajectory)
         elif self.layered:
             out = decode_batch_layered(
                 llr, w, self.layer_checks, graph=self.graph, spec=self.spec,
-                max_iterations=self.max_iterations, ste=ste)
+                max_iterations=self.max_iterations, ste=ste,
+                return_trajectory=return_trajectory)
         elif self.qc is not None:
             opts = dict(self.qc_options or {})
             if ste or return_trajectory:

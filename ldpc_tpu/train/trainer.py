@@ -86,7 +86,7 @@ def posterior_joint_loss(
         # posteriors_all: [T, B, n] — every iteration contributes
         bce = optax.sigmoid_binary_cross_entropy(
             -out.posteriors_all, targets[None])
-    else:  # final-posterior-only (also layered decoders: no trajectory)
+    else:  # final-posterior-only
         bce = optax.sigmoid_binary_cross_entropy(-out.posterior, targets)
     loss = jnp.mean(bce)
     acc = jnp.mean((out.bits == targets.astype(jnp.int32)).astype(jnp.float32))

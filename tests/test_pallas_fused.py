@@ -1,0 +1,98 @@
+"""Whole-decode fused Pallas kernel vs the XLA QC engine (interpret mode;
+the on-chip bf16 check is in bench/experiments).
+
+The fused kernel's contract is qc_decode_batch(check_every=T): final-
+iteration posterior, syndrome evaluated once at the end. Hard outputs
+(bits / success / iterations) must agree exactly; posteriors are compared
+to ~1 ulp because XLA contracts mul+add chains into FMAs when compiling
+the engine's scan (verified: the fused kernel matches a strict
+float32-rounded numpy recomputation to the bit; the XLA engine is the one
+that deviates by 1 ulp).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import ldpc_tpu
+from ldpc_tpu.channel import awgn_llr
+from ldpc_tpu.decode.pallas_fused import qc_fused_decode_batch
+from ldpc_tpu.decode.qc_engine import build_qc_graph, qc_decode_batch
+
+
+def _setup(mb, nb, lift, T, base_seed=0, density=1.0, **kw):
+    rng = np.random.default_rng(base_seed)
+    base = rng.integers(0, lift, size=(mb, nb))
+    if density < 1.0:
+        mask = rng.random((mb, nb)) < (1.0 - density)
+        base = np.where(mask, -1, base)
+        for i in range(mb):
+            if (base[i] >= 0).sum() == 0:
+                base[i, rng.integers(nb)] = rng.integers(lift)
+        for j in range(nb):
+            if (base[:, j] >= 0).sum() == 0:
+                base[rng.integers(mb), j] = rng.integers(lift)
+    code = ldpc_tpu.create_qc_code(base, lift=lift, max_iterations=T)
+    qc = build_qc_graph(base, lift)
+    dec = ldpc_tpu.make_decoder(code, max_iterations=T, qc=qc, **kw)
+    return code, qc, dec
+
+
+@pytest.mark.parametrize("kw", [
+    dict(kind="ms", factor=0.7),
+    dict(kind="nms", sharing_type=2, seed=1, init="nms"),
+    dict(kind="oms", sharing_type=2, seed=5),
+    dict(kind="rcq", bc=3,
+         quantizer_params=((3.0, 1.3), (5.0, 1.3), (7.0, 1.3))),
+    dict(kind="rcq", bc=3, bv=8,
+         quantizer_params=((3.0, 1.3), (5.0, 1.3), (7.0, 1.3))),
+    dict(kind="wrcq", bc=4, sharing_type=2, seed=6, init="nms"),
+    dict(kind="orcq", bc=3, sharing_type=2, seed=7),
+])
+def test_fused_matches_qc_engine_f32(kw):
+    T = 6
+    code, qc, dec = _setup(3, 8, 16, T, base_seed=0, density=0.8, **kw)
+    llr = awgn_llr(jax.random.PRNGKey(7), jnp.zeros((64, code.n)), 2.5)
+    ref = qc_decode_batch(llr, dec.weights, qc=qc, spec=dec.spec,
+                          max_iterations=T, check_every=T,
+                          dtype=jnp.float32)
+    out = qc_fused_decode_batch(llr, dec.weights, qc=qc, spec=dec.spec,
+                                max_iterations=T, dtype=jnp.float32,
+                                batch_tile=32, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out.bits), np.asarray(ref.bits))
+    np.testing.assert_array_equal(np.asarray(out.success),
+                                  np.asarray(ref.success))
+    np.testing.assert_array_equal(np.asarray(out.iterations),
+                                  np.asarray(ref.iterations))
+    np.testing.assert_allclose(np.asarray(out.posterior),
+                               np.asarray(ref.posterior),
+                               rtol=1e-6, atol=1e-5)
+
+
+def test_fused_row_regular_full_base():
+    """Full base matrix (the bench code's shape class) + uneven grid tiles."""
+    T = 5
+    code, qc, dec = _setup(2, 6, 32, T, base_seed=1, density=1.0, kind="rcq",
+                           bc=3, bv=8)
+    llr = awgn_llr(jax.random.PRNGKey(3), jnp.zeros((96, code.n)), 3.0)
+    ref = qc_decode_batch(llr, dec.weights, qc=qc, spec=dec.spec,
+                          max_iterations=T, check_every=T,
+                          dtype=jnp.float32)
+    out = qc_fused_decode_batch(llr, dec.weights, qc=qc, spec=dec.spec,
+                                max_iterations=T, dtype=jnp.float32,
+                                batch_tile=32, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out.bits), np.asarray(ref.bits))
+    np.testing.assert_allclose(np.asarray(out.posterior),
+                               np.asarray(ref.posterior),
+                               rtol=1e-6, atol=1e-5)
+
+
+def test_fused_rejects_bad_tile_and_vmem():
+    T = 4
+    code, qc, dec = _setup(2, 4, 16, T, base_seed=2, kind="ms")
+    llr = jnp.zeros((64, code.n))
+    with pytest.raises(ValueError):
+        qc_fused_decode_batch(llr, dec.weights, qc=qc, spec=dec.spec,
+                              max_iterations=T, batch_tile=48,
+                              interpret=True)

@@ -141,3 +141,34 @@ def test_compute_loss_and_validate_paths(test_code):
     assert np.isfinite(tr.compute_loss(llr, tgt))
     loss, acc = tr.validate()
     assert 0.0 <= acc <= 1.0 and np.isfinite(loss)
+
+
+def test_layered_joint_training(test_code):
+    """Layered decoders expose per-iteration posteriors, so posterior-joint
+    training works on them (previously a silent final-only fallback)."""
+    from ldpc_tpu.decode.qc_engine import build_qc_graph
+    from ldpc_tpu.train import PosteriorJointTrainer, TrainingConfig
+
+    base = np.array([[0, 1, 2, 3], [3, 2, 1, 0]])
+    code = ldpc_tpu.create_qc_code(base, lift=8, max_iterations=6)
+    qc = build_qc_graph(base, 8)
+    for dec in (
+        ldpc_tpu.neural_2d_min_sum(code, weight_sharing_type=2, layered=True,
+                                   max_iterations=6, init="nms"),
+        ldpc_tpu.make_decoder(code, kind="nms", sharing_type=2, qc=qc,
+                              layered=True, max_iterations=6, init="nms"),
+    ):
+        out = dec(ldpc_tpu.awgn_llr(jax.random.PRNGKey(0),
+                                    jnp.zeros((8, code.n)), 2.0),
+                  return_trajectory=True)
+        assert out.posteriors_all is not None
+        assert out.posteriors_all.shape == (6, 8, code.n)
+        # last trajectory entry == (unfrozen) per-iteration posterior; for a
+        # frame not converged before T they agree with the final posterior
+        unconv = ~np.asarray(out.success)
+        cfg = TrainingConfig(batch_size=32, num_epochs=1,
+                             use_posterior_training=True)
+        tr = PosteriorJointTrainer(dec, cfg)
+        tr.train(num_samples=64, verbose=False)
+        assert len(tr.training_losses) == 1
+        assert np.isfinite(tr.training_losses[0])
