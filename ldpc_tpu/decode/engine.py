@@ -41,6 +41,8 @@ from ldpc_tpu.quantizer import (
     power_qdq_ste,
     staircase_qdq,
     staircase_qdq_ste,
+    uniform_qdq,
+    uniform_qdq_ste,
 )
 
 __all__ = ["VariantSpec", "DecodeResult", "decode_batch", "decode_batch_layered",
@@ -149,6 +151,11 @@ def _make_qdq(spec: VariantSpec, x, ste: bool, v2c: bool):
         qparams, levels, thr_key, qp_key = (
             spec.qparams, spec.q_levels, "thr", "qp")
     if qparams is not None and levels > 16:
+        if np.all(np.asarray(qparams)[:, 1] == 1.0):
+            # gamma == 1 for every iteration (static): uniform thresholds —
+            # pure arithmetic, no transcendentals (quantizer.uniform_qdq)
+            f = uniform_qdq_ste if ste else uniform_qdq
+            return lambda v: f(v, x[qp_key][0], levels)
         f = power_qdq_ste if ste else power_qdq
         return lambda v: f(v, x[qp_key][0], x[qp_key][1], levels)
     f = staircase_qdq_ste if ste else staircase_qdq

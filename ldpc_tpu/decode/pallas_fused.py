@@ -49,7 +49,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ldpc_tpu.decode.engine import DecodeResult, VariantSpec
 from ldpc_tpu.decode.qc_engine import QCGraph
-from ldpc_tpu.quantizer import power_qdq
+from ldpc_tpu.quantizer import power_qdq, uniform_qdq
 
 __all__ = ["qc_fused_decode_batch"]
 
@@ -68,7 +68,17 @@ def _roll_lanes(x: jnp.ndarray, s: int) -> jnp.ndarray:
     return jnp.concatenate([x[..., L - s:], x[..., :L - s]], axis=-1)
 
 
-def _kernel_qdq(x, t, thr_ref, qp_ref, levels: int, use_power: bool):
+def _qdq_mode(qparams, levels: int) -> str:
+    """Mirror ``engine._make_qdq``'s static routing: 'uniform' (gamma==1
+    closed form, no transcendentals), 'power', or 'staircase'."""
+    if qparams is not None and levels > 16:
+        if np.all(np.asarray(qparams)[:, 1] == 1.0):
+            return "uniform"
+        return "power"
+    return "staircase"
+
+
+def _kernel_qdq(x, t, thr_ref, qp_ref, levels: int, mode: str):
     """This iteration's quantize-dequantize, mirroring ``engine._make_qdq``:
     closed-form power law for big LUTs, exact staircase for small ones.
     ``t`` is the (traced) iteration index; threshold/param reads are SMEM
@@ -78,7 +88,9 @@ def _kernel_qdq(x, t, thr_ref, qp_ref, levels: int, use_power: bool):
     on v5e rejects bf16 vector compares ("Target does not support this
     comparison") that the power/staircase forms would otherwise emit."""
     x = x.astype(jnp.float32)
-    if use_power:
+    if mode == "uniform":
+        return uniform_qdq(x, qp_ref[t, 0], levels)
+    if mode == "power":
         return power_qdq(x, qp_ref[t, 0], qp_ref[t, 1], levels)
     mag = jnp.abs(x)
     snapped = jnp.zeros_like(mag)
@@ -97,10 +109,10 @@ def _make_kernel(qc: QCGraph, spec: VariantSpec, T: int, bt: int, dtype):
     col_blocks = [list(c) for c in qc.col_blocks]
     INF = float("inf")
 
-    q_power = spec.qparams is not None and spec.q_levels > 16
+    q_mode = _qdq_mode(spec.qparams, spec.q_levels)
     with_vqdq = (spec.v2c_qparams is not None or
                  spec.v2c_thresholds is not None)
-    v_power = spec.v2c_qparams is not None and spec.v2c_levels > 16
+    v_mode = _qdq_mode(spec.v2c_qparams, spec.v2c_levels)
 
     def kernel(llr_ref, beta_ref, alpha_ref, thr_ref, qp_ref, vthr_ref,
                vqp_ref, post_ref, S):
@@ -146,17 +158,17 @@ def _make_kernel(qc: QCGraph, spec: VariantSpec, T: int, bt: int, dtype):
                         out = loo_sign * off
                     elif spec.kind == "rcq":
                         out = _kernel_qdq(loo_sign * loo_mag, t, thr_ref,
-                                          qp_ref, spec.q_levels, q_power)
+                                          qp_ref, spec.q_levels, q_mode)
                     elif spec.kind == "wrcq":
                         out = _kernel_qdq(bb * loo_sign * loo_mag, t,
                                           thr_ref, qp_ref, spec.q_levels,
-                                          q_power)
+                                          q_mode)
                     else:  # orcq: W-OMS-RCQ (paper §VII-B)
                         off = jnp.maximum(loo_mag - bb, 0.0)
                         if spec.alpha_in_cn:
                             off = off - ab
                         out = _kernel_qdq(loo_sign * off, t, thr_ref,
-                                          qp_ref, spec.q_levels, q_power)
+                                          qp_ref, spec.q_levels, q_mode)
                     S[b] = out.astype(dtype)
 
             # ---- variable-node update, column by column, in place ----
@@ -179,11 +191,11 @@ def _make_kernel(qc: QCGraph, spec: VariantSpec, T: int, bt: int, dtype):
                         nv = llr_j + ab * ext
                     if with_vqdq:
                         nv = _kernel_qdq(nv, t, vthr_ref, vqp_ref,
-                                         spec.v2c_levels, v_power)
+                                         spec.v2c_levels, v_mode)
                     S[b] = _roll_lanes(nv.astype(dtype), -shifts[b])
                 if with_vqdq:
                     post = _kernel_qdq(post, t, vthr_ref, vqp_ref,
-                                       spec.v2c_levels, v_power)
+                                       spec.v2c_levels, v_mode)
                 post_ref[j] = post.astype(dtype)
             return carry
 

