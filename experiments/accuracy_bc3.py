@@ -84,8 +84,11 @@ def run(frames: int = 131072, epochs: int = 24, lift: int = 256,
 
     # -- 2. train W-OMS-RCQ(3,8) and W-RCQ(3,8) ----------------------------
     trained = {}
+    vqp_uni = tuple((2.0 * C, 1.0) for C, _ in qparams)
     for kind, nm in (("orcq", "W-OMS-RCQ"), ("wrcq", "W-RCQ")):
-        dec = mk(kind, qparams, sharing_type=2,
+        # train with the uniform bv quantizer — the deployed (deep-FER /
+        # bench) form — so train and deploy semantics match
+        dec = mk(kind, qparams, sharing_type=2, v2c_quantizer_params=vqp_uni,
                  init=("nms" if kind == "wrcq" else "reference"), seed=0)
         tr = PosteriorJointTrainer(
             dec, TrainingConfig(batch_size=128, num_epochs=epochs,
@@ -96,6 +99,11 @@ def run(frames: int = 131072, epochs: int = 24, lift: int = 256,
         if verbose:
             print(f"{nm}: {len(hist['training_losses'])} epochs, "
                   f"final loss {hist['training_losses'][-1]:.5f}", flush=True)
+    # persist the trained W-OMS-RCQ weights for the deep-FER campaign
+    from ldpc_tpu.utils.checkpoint import save_checkpoint
+    save_checkpoint("experiments/orcq_bc3_ck",
+                    {k: v for k, v in trained["W-OMS-RCQ"][0].weights.items()
+                     if v is not None})
 
     # -- 3. fine FER sweep + gaps ------------------------------------------
     cfg = SimulationConfig(snr_range=(5.75, 7.25), snr_step=0.25,
@@ -107,6 +115,11 @@ def run(frames: int = 131072, epochs: int = 24, lift: int = 256,
                                           max_iterations=10,
                                           qc_options=perf),
         "RCQ-bc3-bv8": mk("rcq", qparams),
+        # uniform (gamma=1) internal bv quantizer: the TPU-preferred form
+        # (no transcendentals) — quantify its FER delta at scale
+        "RCQ-bc3-bv8uni": mk("rcq", qparams,
+                             v2c_quantizer_params=tuple(
+                                 (2.0 * C, 1.0) for C, _ in qparams)),
         "W-OMS-RCQ-bc3-trained": trained["W-OMS-RCQ"][0],
         "W-RCQ-bc3-trained": trained["W-RCQ"][0],
     }

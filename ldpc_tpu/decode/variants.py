@@ -176,14 +176,34 @@ class Decoder:
                 return_trajectory=return_trajectory)
         elif self.qc is not None:
             opts = dict(self.qc_options or {})
+            fused = opts.pop("fused", False)
             if ste or return_trajectory:
                 # training path: keep per-iteration semantics + f32 grads
+                # (the fused kernel is inference-only)
                 opts.pop("check_every", None)
                 opts.pop("dtype", None)
-            out = qc_decode_batch(
-                llr, w, qc=self.qc, spec=self.spec,
-                max_iterations=self.max_iterations, ste=ste,
-                return_trajectory=return_trajectory, **opts)
+                opts.pop("batch_tile", None)
+                opts.pop("interpret", None)
+                fused = False
+            if fused:
+                # whole-decode VMEM-resident Pallas kernel; contract ==
+                # qc_decode_batch(check_every=T), so require that schedule
+                from ldpc_tpu.decode.pallas_fused import qc_fused_decode_batch
+                ce = opts.pop("check_every", self.max_iterations)
+                if ce != self.max_iterations:
+                    raise ValueError(
+                        f"fused kernel checks the syndrome once at T="
+                        f"{self.max_iterations}; qc_options check_every="
+                        f"{ce} is incompatible")
+                opts.pop("unroll", None)
+                out = qc_fused_decode_batch(
+                    llr, w, qc=self.qc, spec=self.spec,
+                    max_iterations=self.max_iterations, **opts)
+            else:
+                out = qc_decode_batch(
+                    llr, w, qc=self.qc, spec=self.spec,
+                    max_iterations=self.max_iterations, ste=ste,
+                    return_trajectory=return_trajectory, **opts)
         elif self.bucketed_graph is not None:
             from ldpc_tpu.decode.bucketed_engine import bucketed_decode_batch
             out = bucketed_decode_batch(
@@ -234,6 +254,12 @@ class Decoder:
         )
         weights = {k: cut(w) for k, w in self.weights.items()}
         opts = dict(self.qc_options or {})
+        if opts.get("fused") and T1 != self.max_iterations:
+            # the fused kernel's only syndrome check is at T, so any T1 < T
+            # checks at an iteration the parent never does
+            raise ValueError(
+                "cannot truncate a fused-kernel decoder (its check schedule "
+                "is {T}); build the truncated stage on the XLA engine")
         ce = opts.get("check_every")
         if ce and T1 % ce:
             # Silently changing the check schedule would break the freezing

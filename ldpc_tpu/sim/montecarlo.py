@@ -70,6 +70,12 @@ class SimulationConfig:
     # converge in a few iterations so throughput rises ~T/early_exit_iters.
     early_exit_iters: Optional[int] = None
     survivor_budget: Optional[int] = None  # default: wave_size // 4
+    # run the compaction's stage-1 (truncated) decode through the
+    # whole-decode fused Pallas kernel. Exact: fused(T=T1) has the same
+    # check-at-T1 contract as the truncated XLA engine when the decoder's
+    # check_every equals early_exit_iters (enforced). QC decoders only.
+    stage1_fused: bool = False
+    stage1_batch_tile: int = 64
 
     def snr_points(self) -> np.ndarray:
         lo, hi = self.snr_range
@@ -162,7 +168,9 @@ def _make_wave_fn(decoder: Decoder, wave_size: int, mesh=None):
 
 
 def _make_compacting_wave_fn(decoder: Decoder, wave_size: int,
-                             early_iters: int, survivor_budget: int):
+                             early_iters: int, survivor_budget: int,
+                             stage1_fused: bool = False,
+                             stage1_batch_tile: int = 64):
     """Two-stage wave with survivor compaction (see ``SimulationConfig``).
 
     Returns a callable with the same (key, snr, weights) -> 4-scalar
@@ -182,6 +190,24 @@ def _make_compacting_wave_fn(decoder: Decoder, wave_size: int,
         early_iters = ((early_iters + ce - 1) // ce) * ce
     T1 = early_iters
     short = decoder.truncated(early_iters)
+    if stage1_fused:
+        import dataclasses as _dc
+
+        if decoder.qc is None:
+            raise ValueError("stage1_fused needs a QC decoder")
+        if ce != T1:
+            raise ValueError(
+                f"stage1_fused requires check_every == early_exit_iters "
+                f"(got {ce} vs {T1}): the fused kernel checks once at T1, "
+                "which must be the truncated decoder's whole schedule")
+        opts = dict(short.qc_options or {})
+        opts.pop("check_every", None)
+        opts.pop("unroll", None)
+        opts["fused"] = True
+        opts["batch_tile"] = stage1_batch_tile
+        if jax.default_backend() == "cpu":
+            opts["interpret"] = True  # Pallas TPU kernels: interpret on CPU
+        short = _dc.replace(short, qc_options=opts)
     S = survivor_budget
     full_fn = _make_wave_fn(decoder, wave_size)
 
@@ -244,7 +270,9 @@ def _build_wave(decoder: Decoder, config: "SimulationConfig", mesh=None):
         budget = (config.survivor_budget if config.survivor_budget is not None
                   else max(1, config.wave_size // 4))
         return _make_compacting_wave_fn(decoder, config.wave_size,
-                                        config.early_exit_iters, budget)
+                                        config.early_exit_iters, budget,
+                                        config.stage1_fused,
+                                        config.stage1_batch_tile)
     return _make_wave_fn(decoder, config.wave_size, mesh)
 
 

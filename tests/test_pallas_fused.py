@@ -96,3 +96,38 @@ def test_fused_rejects_bad_tile_and_vmem():
         qc_fused_decode_batch(llr, dec.weights, qc=qc, spec=dec.spec,
                               max_iterations=T, batch_tile=48,
                               interpret=True)
+
+
+def test_decoder_fused_option_interpret():
+    """qc_options={'fused': True} routes through the whole-decode kernel
+    (interpret mode on CPU) and matches the XLA engine's check-at-T
+    contract; training calls fall back to the differentiable engine."""
+    T = 5
+    code, qc, dec = _setup(2, 5, 16, T, base_seed=3, kind="rcq", bc=3, bv=8)
+    fusedec = ldpc_tpu.make_decoder(
+        code, kind="rcq", bc=3, bv=8, max_iterations=T, qc=qc,
+        qc_options={"fused": True, "batch_tile": 16, "interpret": True,
+                    "dtype": jnp.float32})
+    llr = awgn_llr(jax.random.PRNGKey(5), jnp.zeros((32, code.n)), 2.5)
+    ref = qc_decode_batch(llr, dec.weights, qc=qc, spec=dec.spec,
+                          max_iterations=T, check_every=T)
+    out = fusedec(llr)
+    np.testing.assert_array_equal(np.asarray(out.bits), np.asarray(ref.bits))
+    np.testing.assert_array_equal(np.asarray(out.success),
+                                  np.asarray(ref.success))
+    # training path silently uses the XLA engine (trajectory works)
+    wdec = ldpc_tpu.make_decoder(
+        code, kind="wrcq", bc=3, sharing_type=2, max_iterations=T, qc=qc,
+        qc_options={"fused": True, "batch_tile": 16, "interpret": True})
+    tr = wdec(llr, ste=True, return_trajectory=True)
+    assert tr.posteriors_all is not None
+    # truncating a fused decoder breaks its check schedule -> refuse
+    with pytest.raises(ValueError):
+        fusedec.truncated(2)
+    # incompatible explicit check_every -> refuse
+    bad = ldpc_tpu.make_decoder(
+        code, kind="rcq", bc=3, max_iterations=T, qc=qc,
+        qc_options={"fused": True, "check_every": 1, "interpret": True,
+                    "batch_tile": 16})
+    with pytest.raises(ValueError):
+        bad(llr)

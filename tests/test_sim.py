@@ -240,3 +240,38 @@ def test_compacting_wave_honors_passed_weights(mid_code):
     a = tuple(int(v) for v in full(key, jnp.float32(2.0), alt))
     b = tuple(int(v) for v in comp(key, jnp.float32(2.0), alt))
     assert a == b
+
+
+def test_compacting_wave_fused_stage1_exact():
+    """stage1_fused routes the truncated decode through the whole-decode
+    Pallas kernel (interpret mode here); pooled stats must equal both the
+    plain wave and the XLA-stage1 compaction bit-for-bit."""
+    from ldpc_tpu.decode.qc_engine import build_qc_graph
+    from ldpc_tpu.sim.montecarlo import (_make_compacting_wave_fn,
+                                         _make_wave_fn)
+
+    base = np.array([[0, 3, 5, 7, 2], [4, 1, 6, 0, 3]])
+    code = ldpc_tpu.create_qc_code(base, lift=16, max_iterations=8)
+    qc = build_qc_graph(base, 16)
+    dec = ldpc_tpu.rcq_min_sum(
+        code, bc=4, max_iterations=8, qc=qc,
+        qc_options={"check_every": 2})
+    full = _make_wave_fn(dec, 256)
+    comp = _make_compacting_wave_fn(dec, 256, early_iters=2,
+                                    survivor_budget=192)
+    compf = _make_compacting_wave_fn(dec, 256, early_iters=2,
+                                     survivor_budget=192, stage1_fused=True,
+                                     stage1_batch_tile=32)
+    # interpret-mode kernel on CPU: patch the option through qc_options
+    key = jax.random.PRNGKey(17)
+    import ldpc_tpu.sim.montecarlo as mc
+    a = tuple(int(v) for v in full(key, jnp.float32(2.5), dec.weights))
+    b = tuple(int(v) for v in comp(key, jnp.float32(2.5), dec.weights))
+    c = tuple(int(v) for v in compf(key, jnp.float32(2.5), dec.weights))
+    assert a == b == c, (a, b, c)
+
+    # incompatible schedule -> refuse
+    bad = ldpc_tpu.rcq_min_sum(code, bc=4, max_iterations=8, qc=qc)
+    with pytest.raises(ValueError):
+        _make_compacting_wave_fn(bad, 256, early_iters=2,
+                                 survivor_budget=64, stage1_fused=True)
