@@ -2,7 +2,13 @@
 
 Decodes batched AWGN frames with the 3-bit RCQ min-sum decoder (the
 BASELINE.json metric: "decoded codewords/sec/chip at bc=3 RCQ") on a
-QC-lifted code of the paper's (9472, 8192) structural family, 10 iterations.
+QC-lifted code of the paper's (9472, 8192) structural family, 10
+iterations, through the whole-decode VMEM-resident Pallas kernel
+(``ldpc_tpu/decode/pallas_fused.py``): message state lives in VMEM for
+all iterations, HBM traffic is just LLRs in / posteriors out. The
+bv=8 internal quantizer uses the uniform (gamma=1) ladder — the
+TPU-native form (no transcendentals), measured FER-equivalent to the
+power-law ladder (docs/RESULTS.md).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 ``vs_baseline`` is measured against the reference implementation's RCQ
@@ -18,19 +24,18 @@ import numpy as np
 
 
 def main():
-    import jax
-
     from ldpc_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
 
+    import jax
     import jax.numpy as jnp
 
     import ldpc_tpu
     from ldpc_tpu.channel import awgn_llr
-    from ldpc_tpu.decode.qc_engine import build_qc_graph, qc_decode_batch
+    from ldpc_tpu.decode.pallas_fused import qc_fused_decode_batch
+    from ldpc_tpu.decode.qc_engine import build_qc_graph
 
-    # QC code with the paper's (9472, 8192) dimensions: 5x37 base, lift 256;
-    # decoded through the roll-based QC fast path (qc_engine.py)
+    # QC code with the paper's (9472, 8192) dimensions: 5x37 base, lift 256
     rng = np.random.default_rng(0)
     base = rng.integers(0, 256, size=(5, 37))
     code = ldpc_tpu.create_qc_code(base, lift=256, max_iterations=10)
@@ -38,32 +43,34 @@ def main():
     dec = ldpc_tpu.make_decoder(
         code, kind="rcq", bc=3, bv=8,
         quantizer_params=((3.0, 1.3), (5.0, 1.3), (7.0, 1.3)),
+        v2c_quantizer_params=((6.0, 1.0), (10.0, 1.0), (14.0, 1.0)),
         max_iterations=10, qc=qc)
 
     B = 8192
     snr_db = 7.0  # operating point of this (5,37)-regular rate-0.865 code
     key = jax.random.PRNGKey(0)
     # channel LLRs generated once outside the timed region: the metric is
-    # DECODE throughput (threefry for B*n=78M samples costs ~25% of a wave
-    # and belongs to the simulator, not the decoder)
+    # DECODE throughput (threefry for B*n=78M samples belongs to the
+    # simulator, not the decoder)
     llrs = [awgn_llr(k, jnp.zeros((B, code.n), jnp.float32), snr_db)
             for k in jax.random.split(key, 3)]
 
     def wave(llr):
-        out = qc_decode_batch(llr, dec.weights, qc=qc, spec=dec.spec,
-                              max_iterations=dec.max_iterations,
-                              check_every=10, dtype=jnp.bfloat16,
-                              unroll=True)
+        out = qc_fused_decode_batch(llr, dec.weights, qc=qc, spec=dec.spec,
+                                    max_iterations=dec.max_iterations,
+                                    dtype=jnp.bfloat16, batch_tile=64)
         return out.bits
 
-    # warmup / compile
-    wave(llrs[0]).block_until_ready()
+    # warmup / compile (twice: first sync after a fresh compile can lie on
+    # remote-attached runtimes)
+    np.asarray(jnp.sum(wave(llrs[0])))
+    np.asarray(jnp.sum(wave(llrs[1])))
 
     t0 = time.time()
-    reps = 6
+    reps = 10
     for i in range(reps):
-        bits = wave(llrs[i % len(llrs)])
-    bits.block_until_ready()
+        s = jnp.sum(wave(llrs[i % len(llrs)]))  # device reduce, no transfer
+    np.asarray(s)  # one scalar host fetch closes the timing region
     dt = time.time() - t0
 
     value = reps * B / dt
