@@ -93,6 +93,44 @@ def example_rcq_decoding():
               f"avg_iters={float(out.iterations.mean()):.1f}{note}")
 
 
+def example_oms_rcq():
+    """W-OMS-RCQ — the paper's FPGA headline decoder (§VII-B, Table III),
+    absent from the reference implementation."""
+    jax, jnp, ldpc_tpu = _setup()
+    code = ldpc_tpu.create_peg_code(n=128, m=64, dv=3, seed=0,
+                                    max_iterations=12)
+    llr = ldpc_tpu.awgn_llr(jax.random.PRNGKey(9),
+                            jnp.zeros((64, code.n)), 3.0)
+    dec = ldpc_tpu.weighted_oms_rcq(code, bc=3, bv=8, weight_sharing_type=2,
+                                    max_iterations=12)
+    out = dec(llr)
+    print(f"  {dec.name}: params={dec.param_count()} "
+          f"FER@3dB={float(jnp.mean(jnp.any(out.bits != 0, axis=1))):.3f}")
+    print("  c2v = qdq(sign * (relu(mag - beta) - alpha)); train via the "
+          "'training' scenario machinery (STE through quantizer + offset)")
+
+
+def example_published_codes():
+    """Published closed-form QC codes: Tanner (155, 64, 20) and Fan array
+    codes, decoded through the QC roll engine."""
+    jax, jnp, ldpc_tpu = _setup()
+    from ldpc_tpu.decode.qc_engine import build_qc_graph
+
+    code = ldpc_tpu.create_tanner_155(max_iterations=20)
+    qc = build_qc_graph(ldpc_tpu.tanner_155_base(), 31)
+    dec = ldpc_tpu.make_decoder(code, kind="ms", max_iterations=20, qc=qc)
+    print(f"  Tanner(155,64): rate={code.rate:.3f} "
+          f"(3,5)-regular, girth 8, d_min 20")
+    for snr in (2.0, 3.0, 4.0):
+        llr = ldpc_tpu.awgn_llr(jax.random.PRNGKey(int(snr * 10)),
+                                jnp.zeros((512, code.n)), snr)
+        out = dec(llr)
+        print(f"    FER@{snr:.0f}dB = "
+              f"{float(jnp.mean(jnp.any(out.bits != 0, axis=1))):.4f}")
+    arr = ldpc_tpu.create_array_code(13, 3, 5)
+    print(f"  array(p=13,3,5): ({arr.n},{arr.k}) rate={arr.rate:.3f}")
+
+
 def example_layered_decoding():
     """Layered-schedule RCQ (the reference's broken `_decode_layered`,
     implemented correctly — SURVEY §8.3)."""
@@ -207,6 +245,8 @@ SCENARIOS = {
     "neural": example_neural_decoders,
     "2d": example_2d_weight_sharing,
     "rcq": example_rcq_decoding,
+    "oms_rcq": example_oms_rcq,
+    "codes": example_published_codes,
     "layered": example_layered_decoding,
     "training": example_training,
     "gradients": example_gradient_analysis,

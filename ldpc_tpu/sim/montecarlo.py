@@ -463,4 +463,11 @@ def create_test_decoders(code, max_iterations: int = 10) -> Dict[str, Decoder]:
         code, bc=3, bv=8, weight_sharing_type=2,
         quantizer_params=((3.0, 1.3), (5.0, 1.3), (7.0, 1.3)),
         max_iterations=max_iterations)
+    # beyond the reference's nine: the paper's FPGA headline decoder
+    # (§VII-B), which the reference never implemented
+    from ldpc_tpu.decode.variants import weighted_oms_rcq
+    zoo["W-OMS-RCQ-T2"] = weighted_oms_rcq(
+        code, bc=3, bv=8, weight_sharing_type=2,
+        quantizer_params=((3.0, 1.3), (5.0, 1.3), (7.0, 1.3)),
+        max_iterations=max_iterations)
     return zoo

@@ -82,11 +82,13 @@ def test_sweep_and_json_roundtrip(test_code, tmp_path):
 
 
 def test_decoder_zoo(test_code):
-    """The 9-decoder comparison set (simulation_framework.py:384-420)."""
+    """The reference's 9-decoder comparison set
+    (simulation_framework.py:384-420) + W-OMS-RCQ (the paper's FPGA
+    headline decoder, which the reference lacks)."""
     zoo = create_test_decoders(test_code, max_iterations=10)
     assert set(zoo) == {
         "Basic-MinSum", "N-NMS", "N-OMS", "N-2D-NMS-T1", "N-2D-NMS-T2",
-        "N-2D-NMS-T3", "N-2D-NMS-T4", "RCQ", "W-RCQ-T2"}
+        "N-2D-NMS-T3", "N-2D-NMS-T4", "RCQ", "W-RCQ-T2", "W-OMS-RCQ-T2"}
     # param-count goldens: 130 for N-NMS on (7,4)@10 iters
     # (IMPLEMENTATION_SUMMARY.md:165-172)
     assert zoo["N-NMS"].param_count() == 130
