@@ -264,11 +264,15 @@ def _make_compacting_wave_fn(decoder: Decoder, wave_size: int,
 
 def _build_wave(decoder: Decoder, config: "SimulationConfig", mesh=None):
     if config.early_exit_iters is not None:
-        if mesh is not None:
-            raise ValueError("early-exit compaction + mesh sharding is not "
-                             "supported yet; pick one")
         budget = (config.survivor_budget if config.survivor_budget is not None
                   else max(1, config.wave_size // 4))
+        if mesh is not None:
+            from ldpc_tpu.parallel.montecarlo import \
+                make_spmd_compacting_wave_fn
+            return make_spmd_compacting_wave_fn(
+                decoder, config.wave_size, config.early_exit_iters, budget,
+                mesh, stage1_fused=config.stage1_fused,
+                stage1_batch_tile=config.stage1_batch_tile)
         return _make_compacting_wave_fn(decoder, config.wave_size,
                                         config.early_exit_iters, budget,
                                         config.stage1_fused,

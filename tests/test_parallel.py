@@ -100,3 +100,41 @@ def test_wrcq_qc_mesh_simulation_and_training():
     res = LDPCSimulator(cfg, mesh=mesh).simulate_decoder(dec, verbose=False)
     assert res.total_frames == [512, 512]
     assert all(0.0 <= f <= 1.0 for f in res.frame_error_rates)
+
+
+def test_spmd_compacting_wave_matches_plain(mid_code):
+    """Per-device compaction over an 8-device mesh: pooled stats equal the
+    plain SPMD wave bit-for-bit (same keys -> same per-device noise)."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from ldpc_tpu.parallel.montecarlo import (make_spmd_compacting_wave_fn,
+                                              make_spmd_wave_fn)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("batch",))
+    dec = ldpc_tpu.basic_min_sum(mid_code, max_iterations=15)
+    plain = make_spmd_wave_fn(dec, 512, mesh)
+    comp = make_spmd_compacting_wave_fn(dec, 512, early_iters=3,
+                                        survivor_budget=256, mesh=mesh)
+    key = jax.random.PRNGKey(21)
+    for snr in (2.0, 0.0):  # 0 dB exercises the per-device cond fallback
+        a = tuple(int(v) for v in plain(key, jnp.float32(snr), dec.weights))
+        b = tuple(int(v) for v in comp(key, jnp.float32(snr), dec.weights))
+        assert a == b, f"snr={snr}: {a} != {b}"
+
+
+def test_spmd_compaction_through_simulator(test_code):
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from ldpc_tpu.sim import LDPCSimulator, SimulationConfig
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("batch",))
+    dec = ldpc_tpu.basic_min_sum(test_code, max_iterations=10)
+    cfg = SimulationConfig(snr_range=(4.0, 4.0), snr_step=1.0,
+                           max_frames=1024, max_errors=10**9, min_frames=0,
+                           wave_size=512, early_exit_iters=2,
+                           survivor_budget=256, save_results=False)
+    res = LDPCSimulator(cfg, mesh=mesh).simulate_decoder(dec, verbose=False)
+    assert res.total_frames[0] == 1024
+    assert 0.0 <= res.frame_error_rates[0] < 0.2
