@@ -51,7 +51,7 @@ from ldpc_tpu.decode.engine import DecodeResult, VariantSpec
 from ldpc_tpu.decode.qc_engine import QCGraph
 from ldpc_tpu.quantizer import power_qdq, uniform_qdq
 
-__all__ = ["qc_fused_decode_batch"]
+__all__ = ["qc_fused_decode_batch", "qc_fused_decode_batch_layered"]
 
 # VMEM is ~16 MB/core on v5e; leave headroom for the double-buffered
 # llr/posterior blocks and the min-tree temporaries.
@@ -292,6 +292,197 @@ def qc_fused_decode_batch(
                                  -int(qc.block_shift[b]), axis=0)
         ok = ok & ~jnp.any(par > 0, axis=0)
 
+    return DecodeResult(
+        bits=bits, posterior=post,
+        iterations=jnp.full((Bsz,), T, jnp.int32),
+        success=ok)
+
+
+def _make_layered_kernel(qc: QCGraph, spec: VariantSpec, T: int, bt: int,
+                         dtype):
+    NB = qc.num_blocks
+    L = qc.lift
+    shifts = [int(s) for s in qc.block_shift]
+    cols = [int(c) for c in qc.block_col]
+    row_blocks = [list(r) for r in qc.row_blocks]
+    INF = float("inf")
+
+    q_mode = _qdq_mode(spec.qparams, spec.q_levels)
+    with_vqdq = (spec.v2c_qparams is not None or
+                 spec.v2c_thresholds is not None)
+    v_mode = _qdq_mode(spec.v2c_qparams, spec.v2c_levels)
+
+    def kernel(llr_ref, beta_ref, alpha_ref, thr_ref, qp_ref, vthr_ref,
+               vqp_ref, post_ref, C, colsum):
+        # layered state: per-block c2v memory (VAR-aligned, like
+        # qc_engine.qc_decode_batch_layered) + per-column running sum
+        for b in range(NB):
+            C[b] = jnp.zeros((bt, L), dtype)
+        for j in range(qc.nb):
+            colsum[j] = jnp.zeros((bt, L), dtype)
+
+        def body(t, carry):
+            for blocks in row_blocks:
+                dc = len(blocks)
+
+                def ca_k(k):
+                    """Fresh check-aligned v2c for the k-th block: formed
+                    from the CURRENT posterior state (layered semantics)."""
+                    b = blocks[k]
+                    j = cols[b]
+                    ext = colsum[j][...] - C[b][...]
+                    if spec.alpha_in_cn:
+                        nv = llr_ref[j] + ext
+                    else:
+                        ab = alpha_ref[t, b]
+                        nv = llr_ref[j] + ab * ext
+                    return _roll_lanes(nv.astype(jnp.float32), -shifts[b])
+
+                x0 = ca_k(0)
+                min1 = jnp.abs(x0)
+                min2 = jnp.full_like(min1, INF)
+                argm = jnp.zeros(min1.shape, jnp.int32)
+                neg_cnt = (x0 < 0).astype(jnp.int32)
+                for k in range(1, dc):
+                    xk = ca_k(k)
+                    mk = jnp.abs(xk)
+                    new_min = mk < min1
+                    min2 = jnp.where(new_min, min1, jnp.minimum(min2, mk))
+                    min1 = jnp.where(new_min, mk, min1)
+                    argm = jnp.where(new_min, k, argm)
+                    neg_cnt = neg_cnt + (xk < 0).astype(jnp.int32)
+                if dc == 1:
+                    min2 = min1
+                for k in range(dc):
+                    b = blocks[k]
+                    xk = ca_k(k)
+                    loo_mag = jnp.where(argm == k, min2, min1)
+                    loo_neg = (neg_cnt - (xk < 0).astype(jnp.int32)) & 1
+                    loo_sign = 1.0 - 2.0 * loo_neg.astype(jnp.float32)
+                    bb = beta_ref[t, b]
+                    ab = alpha_ref[t, b]
+                    if spec.kind == "nms":
+                        out = bb * loo_sign * loo_mag
+                    elif spec.kind == "oms":
+                        off = jnp.maximum(loo_mag - bb, 0.0)
+                        if spec.alpha_in_cn:
+                            off = off - ab
+                        out = loo_sign * off
+                    elif spec.kind == "rcq":
+                        out = _kernel_qdq(loo_sign * loo_mag, t, thr_ref,
+                                          qp_ref, spec.q_levels, q_mode)
+                    elif spec.kind == "wrcq":
+                        out = _kernel_qdq(bb * loo_sign * loo_mag, t,
+                                          thr_ref, qp_ref, spec.q_levels,
+                                          q_mode)
+                    else:  # orcq: W-OMS-RCQ (paper §VII-B)
+                        off = jnp.maximum(loo_mag - bb, 0.0)
+                        if spec.alpha_in_cn:
+                            off = off - ab
+                        out = _kernel_qdq(loo_sign * off, t, thr_ref,
+                                          qp_ref, spec.q_levels, q_mode)
+                    new = _roll_lanes(out, shifts[b]).astype(dtype)
+                    j = cols[b]
+                    colsum[j] = colsum[j][...] + (new - C[b][...])
+                    C[b] = new
+            # iteration-end posterior (bv quantization applies here, as in
+            # qc_decode_batch_layered)
+            for j in range(qc.nb):
+                post = llr_ref[j] + colsum[j][...]
+                if with_vqdq:
+                    post = _kernel_qdq(post, t, vthr_ref, vqp_ref,
+                                       spec.v2c_levels, v_mode)
+                post_ref[j] = post.astype(dtype)
+            return carry
+
+        jax.lax.fori_loop(0, T, body, 0)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("qc", "spec", "max_iterations", "dtype",
+                                   "batch_tile", "interpret"))
+def qc_fused_decode_batch_layered(
+    llr: jnp.ndarray,            # [B, n]
+    weights,
+    *,
+    qc: QCGraph,
+    spec: VariantSpec,
+    max_iterations: int,
+    dtype=jnp.bfloat16,
+    batch_tile: int = 64,
+    interpret: bool = False,
+) -> DecodeResult:
+    """Layered-schedule whole-decode Pallas kernel.
+
+    Same layered semantics as ``qc_decode_batch_layered`` (persistent
+    per-block c2v memory, incrementally-maintained column sums, fresh v2c
+    from the current posterior state row by row — the schedule the paper's
+    FPGA uses, §VII-B), with the fused kernel's check-at-the-end contract:
+    the returned posterior is iteration T's, ``success`` is its syndrome,
+    ``iterations`` is T for every frame. Layered converges in roughly
+    0.5-0.6x the flooding iterations at equal FER, so a T=6 layered decode
+    replaces a T=10 flooding one.
+    """
+    T = max_iterations
+    Bsz, n = llr.shape
+    if Bsz % batch_tile:
+        raise ValueError(f"batch {Bsz} not divisible by tile {batch_tile}")
+    L = qc.lift
+    NB = qc.num_blocks
+    bt = batch_tile
+    state_bytes = (NB + qc.nb) * bt * L * jnp.dtype(dtype).itemsize
+    if state_bytes > _STATE_BYTES_LIMIT:
+        raise ValueError(
+            f"layered state {state_bytes / 2**20:.1f} MB for "
+            f"batch_tile={bt} exceeds the VMEM budget; reduce batch_tile")
+
+    llr_blk = llr.astype(dtype).reshape(Bsz, qc.nb, L).transpose(1, 0, 2)
+
+    if spec.beta_idx is not None:
+        beta_tab = weights["beta"][:, jnp.asarray(spec.beta_idx)]
+    else:
+        beta_tab = jnp.full((T, NB), spec.fixed_beta, jnp.float32)
+    if spec.alpha_idx is not None:
+        alpha_tab = weights["alpha"][:, jnp.asarray(spec.alpha_idx)]
+    else:
+        alpha_tab = jnp.full((T, NB), spec.fixed_alpha, jnp.float32)
+
+    def tab(a, w):
+        return (jnp.asarray(a, jnp.float32) if a is not None
+                else jnp.zeros((T, w), jnp.float32))
+
+    thr, qp = tab(spec.thresholds, 1), tab(spec.qparams, 2)
+    vthr, vqp = tab(spec.v2c_thresholds, 1), tab(spec.v2c_qparams, 2)
+
+    kernel = _make_layered_kernel(qc, spec, T, bt, dtype)
+    blk = pl.BlockSpec((qc.nb, bt, L), lambda i: (0, i, 0),
+                       memory_space=pltpu.VMEM)
+    smem = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
+                                  memory_space=pltpu.SMEM)
+    post_blk = pl.pallas_call(
+        kernel,
+        grid=(Bsz // bt,),
+        in_specs=[blk, smem(beta_tab), smem(alpha_tab), smem(thr),
+                  smem(qp), smem(vthr), smem(vqp)],
+        out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct((qc.nb, Bsz, L), dtype),
+        scratch_shapes=[pltpu.VMEM((NB, bt, L), dtype),
+                        pltpu.VMEM((qc.nb, bt, L), dtype)],
+        interpret=interpret,
+    )(llr_blk, beta_tab.astype(jnp.float32),
+      alpha_tab.astype(jnp.float32), thr, qp, vthr, vqp)
+
+    post = post_blk.transpose(1, 0, 2).reshape(Bsz, n)
+    bits = (post < 0).astype(jnp.int32)
+    bits_blocks = bits.T.reshape(qc.nb, L, Bsz)
+    ok = jnp.ones((Bsz,), bool)
+    for i in range(qc.mb):
+        par = jnp.zeros((L, Bsz), jnp.int32)
+        for b in qc.row_blocks[i]:
+            par = par ^ jnp.roll(bits_blocks[int(qc.block_col[b])],
+                                 -int(qc.block_shift[b]), axis=0)
+        ok = ok & ~jnp.any(par > 0, axis=0)
     return DecodeResult(
         bits=bits, posterior=post,
         iterations=jnp.full((Bsz,), T, jnp.int32),

@@ -131,3 +131,30 @@ def test_decoder_fused_option_interpret():
                     "batch_tile": 16})
     with pytest.raises(ValueError):
         bad(llr)
+
+
+def test_fused_layered_matches_engine_trajectory():
+    """The layered fused kernel's posterior equals the XLA layered
+    engine's iteration-T (unfrozen) posterior — the check-at-the-end
+    contract — across variant kinds."""
+    from ldpc_tpu.decode.pallas_fused import qc_fused_decode_batch_layered
+    from ldpc_tpu.decode.qc_engine import qc_decode_batch_layered
+
+    T = 5
+    for kw in (dict(kind="ms", factor=0.7),
+               dict(kind="rcq", bc=3, bv=8,
+                    quantizer_params=((3.0, 1.3), (5.0, 1.3), (7.0, 1.3))),
+               dict(kind="orcq", bc=3, sharing_type=2, seed=3)):
+        code, qc, dec = _setup(3, 7, 16, T, base_seed=4, density=0.85, **kw)
+        llr = awgn_llr(jax.random.PRNGKey(6), jnp.zeros((32, code.n)), 2.5)
+        ref = qc_decode_batch_layered(llr, dec.weights, qc=qc, spec=dec.spec,
+                                      max_iterations=T,
+                                      return_trajectory=True)
+        out = qc_fused_decode_batch_layered(
+            llr, dec.weights, qc=qc, spec=dec.spec, max_iterations=T,
+            dtype=jnp.float32, batch_tile=16, interpret=True)
+        last = np.asarray(ref.posteriors_all[-1])
+        np.testing.assert_allclose(np.asarray(out.posterior), last,
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(out.bits),
+                                      (last < 0).astype(np.int32))
