@@ -165,10 +165,21 @@ class Decoder:
         if squeeze:
             llr = llr[None, :]
         if self.layered and self.qc is not None:
-            out = qc_decode_batch_layered(
-                llr, w, qc=self.qc, spec=self.spec,
-                max_iterations=self.max_iterations, ste=ste,
-                return_trajectory=return_trajectory)
+            opts = dict(self.qc_options or {})
+            if opts.get("fused") and not (ste or return_trajectory):
+                from ldpc_tpu.decode.pallas_fused import \
+                    qc_fused_decode_batch_layered
+                opts.pop("fused")
+                opts.pop("check_every", None)
+                opts.pop("unroll", None)
+                out = qc_fused_decode_batch_layered(
+                    llr, w, qc=self.qc, spec=self.spec,
+                    max_iterations=self.max_iterations, **opts)
+            else:
+                out = qc_decode_batch_layered(
+                    llr, w, qc=self.qc, spec=self.spec,
+                    max_iterations=self.max_iterations, ste=ste,
+                    return_trajectory=return_trajectory)
         elif self.layered:
             out = decode_batch_layered(
                 llr, w, self.layer_checks, graph=self.graph, spec=self.spec,

@@ -158,3 +158,24 @@ def test_fused_layered_matches_engine_trajectory():
                                    rtol=1e-5, atol=1e-5)
         np.testing.assert_array_equal(np.asarray(out.bits),
                                       (last < 0).astype(np.int32))
+
+
+def test_decoder_layered_fused_option():
+    """layered + qc_options fused routes to the layered whole-decode
+    kernel (check-at-the-end contract: bits == XLA layered trajectory's
+    last iteration)."""
+    from ldpc_tpu.decode.qc_engine import qc_decode_batch_layered
+
+    T = 4
+    code, qc, dec = _setup(2, 5, 16, T, base_seed=6, kind="rcq", bc=3,
+                           layered=True)
+    fdec = ldpc_tpu.make_decoder(
+        code, kind="rcq", bc=3, max_iterations=T, qc=qc, layered=True,
+        qc_options={"fused": True, "batch_tile": 16, "interpret": True,
+                    "dtype": jnp.float32})
+    llr = awgn_llr(jax.random.PRNGKey(8), jnp.zeros((32, code.n)), 2.5)
+    ref = qc_decode_batch_layered(llr, dec.weights, qc=qc, spec=dec.spec,
+                                  max_iterations=T, return_trajectory=True)
+    out = fdec(llr)
+    last_bits = (np.asarray(ref.posteriors_all[-1]) < 0).astype(np.int32)
+    np.testing.assert_array_equal(np.asarray(out.bits), last_bits)
