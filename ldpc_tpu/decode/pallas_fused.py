@@ -39,7 +39,6 @@ contract: SURVEY.md §2b (``ldpc_decoder.py:79-153``).
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
