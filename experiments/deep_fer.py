@@ -7,13 +7,14 @@ at ~1e-3 because full-depth Monte-Carlo at 1e-6 costs ~1e8 frames/point.
 This campaign combines the round-2 throughput machinery to make that
 affordable:
 
-- parent decoder semantics: syndrome every 4 iterations (bf16, unrolled);
-- early-termination compaction with the whole-decode fused Pallas kernel
-  as stage 1 (4 iterations, VMEM-resident) — at deep-FER operating SNR
-  nearly every frame converges within 4 iterations, so the wave cost
-  approaches stage-1 cost alone;
+- LAYERED fused decoding at T=6 (measured strictly better FER than
+  10-iteration flooding at the operating points, docs/RESULTS.md) with
+  the selected 2-4-6@1.3 quantizer ladder;
+- two-checkpoint fused compaction ({T1=2, T} syndrome schedule): stage 1
+  decodes everyone for 2 layered iterations in the whole-decode kernel,
+  survivors (a few percent at these SNRs) re-decode at full depth;
 - uniform (gamma=1) bv=8 internal quantizer (the TPU-preferred form;
-  FER-equivalent to the power-law ladder, see accuracy_bc3 results);
+  +0.001 dB vs the power-law ladder, accuracy_bc3 results);
 - resumable per-SNR checkpoints (JSON; rerun the script to continue).
 
     python experiments/deep_fer.py [--frames 100000000] [--errors 100]
@@ -33,8 +34,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run(frames: int = 10 ** 8, errors: int = 100, lift: int = 256,
-        wave: int = 65536, snr_lo: float = 6.5, snr_hi: float = 7.5,
-        snr_step: float = 0.25, weights_ck: str | None = None,
+        wave: int = 32768, snr_lo: float = 6.4, snr_hi: float = 6.9,
+        snr_step: float = 0.1, weights_ck: str | None = None,
         out_path: str = "experiments/deep_fer_results.json",
         verbose: bool = True):
     from ldpc_tpu.utils.cache import enable_compilation_cache
@@ -49,53 +50,59 @@ def run(frames: int = 10 ** 8, errors: int = 100, lift: int = 256,
 
     rng = np.random.default_rng(0)
     base = rng.integers(0, lift, size=(5, 37))  # the bench protograph
-    code = ldpc_tpu.create_qc_code(base, lift=lift, max_iterations=10)
     qc = build_qc_graph(base, lift)
-    qp = ((3.0, 1.3), (5.0, 1.3), (7.0, 1.3))
-    vqp = ((6.0, 1.0), (10.0, 1.0), (14.0, 1.0))  # uniform bv=8
-    perf = dict(check_every=4, dtype=jnp.bfloat16, unroll=True)
+    qp = ((2.0, 1.3), (4.0, 1.3), (6.0, 1.3))     # selected ladder
+    vqp = ((4.0, 1.0), (8.0, 1.0), (12.0, 1.0))   # uniform bv=8
+    fused = dict(fused=True, batch_tile=64, dtype=jnp.bfloat16)
 
-    zoo = {
-        "RCQ-bc3-bv8": ldpc_tpu.make_decoder(
-            code, kind="rcq", bc=3, bv=8, quantizer_params=qp,
-            v2c_quantizer_params=vqp, max_iterations=10, qc=qc,
-            qc_options=perf),
-        "RCQ-bc4-bv8": ldpc_tpu.make_decoder(
-            code, kind="rcq", bc=4, bv=8, quantizer_params=qp,
-            v2c_quantizer_params=vqp, max_iterations=10, qc=qc,
-            qc_options=perf),
-        "float-MS": ldpc_tpu.make_decoder(
-            code, kind="ms", max_iterations=10, qc=qc, qc_options=perf),
+    code6 = ldpc_tpu.create_qc_code(base, lift=lift, max_iterations=6)
+    code10 = ldpc_tpu.create_qc_code(base, lift=lift, max_iterations=10)
+    zoo6 = {
+        "RCQ-bc3-L6": ldpc_tpu.make_decoder(
+            code6, kind="rcq", bc=3, bv=8, quantizer_params=qp,
+            v2c_quantizer_params=vqp, max_iterations=6, qc=qc,
+            layered=True, qc_options=fused),
+        "RCQ-bc4-L6": ldpc_tpu.make_decoder(
+            code6, kind="rcq", bc=4, bv=8, quantizer_params=qp,
+            v2c_quantizer_params=vqp, max_iterations=6, qc=qc,
+            layered=True, qc_options=fused),
+        "float-MS-L6": ldpc_tpu.make_decoder(
+            code6, kind="ms", max_iterations=6, qc=qc, layered=True,
+            qc_options=fused),
     }
+    zoo10 = {}
     if weights_ck and os.path.exists(weights_ck):
         w = load_checkpoint(weights_ck)
         dec = ldpc_tpu.make_decoder(
-            code, kind="orcq", bc=3, bv=8, sharing_type=2,
+            code10, kind="orcq", bc=3, bv=8, sharing_type=2,
             quantizer_params=qp, v2c_quantizer_params=vqp,
-            max_iterations=10, qc=qc, qc_options=perf)
+            max_iterations=10, qc=qc, qc_options=fused)
         dec.weights = {k: jnp.asarray(v) for k, v in w.items()}
-        zoo["W-OMS-RCQ-bc3-trained"] = dec
+        zoo10["W-OMS-RCQ-bc3-trained"] = dec
         if verbose:
             print(f"loaded trained weights from {weights_ck}", flush=True)
 
-    cfg = SimulationConfig(
-        snr_range=(snr_lo, snr_hi), snr_step=snr_step,
-        max_frames=frames, max_errors=errors,
-        min_frames=min(wave * 4, frames), wave_size=wave,
-        early_exit_iters=4, survivor_budget=wave // 8,
-        stage1_fused=True, stage1_batch_tile=64,
-        save_results=False)
-    sim = LDPCSimulator(cfg)
+    def cfg(t1):
+        return SimulationConfig(
+            snr_range=(snr_lo, snr_hi), snr_step=snr_step,
+            max_frames=frames, max_errors=errors,
+            min_frames=min(wave * 4, frames), wave_size=wave,
+            early_exit_iters=t1, survivor_budget=max(64, wave // 16),
+            stage1_batch_tile=64, save_results=False)
+
     os.makedirs("experiments/deep_fer_ck", exist_ok=True)
     results = {}
-    for name, dec in zoo.items():
-        ck = f"experiments/deep_fer_ck/{name}.json"
-        results[name] = sim.simulate_decoder(dec, name, verbose=verbose,
-                                             checkpoint=ck)
+    for t1, zoo in ((2, zoo6), (5, zoo10)):
+        sim = LDPCSimulator(cfg(t1))
+        for name, dec in zoo.items():
+            ck = f"experiments/deep_fer_ck/{name}.json"
+            results[name] = sim.simulate_decoder(dec, name, verbose=verbose,
+                                                 checkpoint=ck)
 
     report = {
-        "code": f"QC({code.n},{code.k}) lift={lift}, 10 iters, "
-                "check_every=4, uniform bv=8",
+        "code": f"QC({code6.n},{code6.k}) lift={lift}; layered T=6 "
+                "(trained decoder: flooding T=10), {2,T}-checkpoint "
+                "compaction, uniform bv=8, ladder 2-4-6@1.3",
         "frames_cap": frames, "errors_target": errors,
         "curves": {k: r.to_dict() for k, r in results.items()},
     }
@@ -129,10 +136,10 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=10 ** 8)
     ap.add_argument("--errors", type=int, default=100)
-    ap.add_argument("--wave", type=int, default=65536)
-    ap.add_argument("--snr-lo", type=float, default=6.5)
-    ap.add_argument("--snr-hi", type=float, default=7.5)
-    ap.add_argument("--snr-step", type=float, default=0.25)
+    ap.add_argument("--wave", type=int, default=32768)
+    ap.add_argument("--snr-lo", type=float, default=6.4)
+    ap.add_argument("--snr-hi", type=float, default=6.9)
+    ap.add_argument("--snr-step", type=float, default=0.1)
     ap.add_argument("--weights", default="experiments/orcq_bc3_ck")
     ap.add_argument("--out", default="experiments/deep_fer_results.json")
     args = ap.parse_args()

@@ -180,8 +180,12 @@ def _make_compacting_wave_fn(decoder: Decoder, wave_size: int,
     from scratch at full depth (deterministic message passing) — pooled
     statistics equal the full-depth wave's bit-for-bit.
     """
+    import dataclasses as _dc
+
     n = decoder.code.n
-    ce = (decoder.qc_options or {}).get("check_every")
+    parent_opts = dict(decoder.qc_options or {})
+    parent_fused = bool(parent_opts.get("fused"))
+    ce = parent_opts.get("check_every")
     if ce and early_iters % ce:
         # stage-1 convergence must be judged on the SAME check schedule as
         # the full decoder (Decoder.truncated raises otherwise); round the
@@ -189,30 +193,72 @@ def _make_compacting_wave_fn(decoder: Decoder, wave_size: int,
         # just slightly deeper than requested
         early_iters = ((early_iters + ce - 1) // ce) * ce
     T1 = early_iters
-    short = decoder.truncated(early_iters)
-    if stage1_fused:
-        import dataclasses as _dc
 
-        if decoder.qc is None:
-            raise ValueError("stage1_fused needs a QC decoder")
-        if ce != T1:
-            raise ValueError(
-                f"stage1_fused requires check_every == early_exit_iters "
-                f"(got {ce} vs {T1}): the fused kernel checks once at T1, "
-                "which must be the truncated decoder's whole schedule")
-        opts = dict(short.qc_options or {})
-        opts.pop("check_every", None)
-        opts.pop("unroll", None)
-        opts["fused"] = True
-        opts["batch_tile"] = stage1_batch_tile
+    def _fuse_opts(base_opts):
+        o = dict(base_opts)
+        o.pop("check_every", None)
+        o.pop("unroll", None)
+        o["fused"] = True
+        o["batch_tile"] = stage1_batch_tile
         if jax.default_backend() == "cpu":
-            opts["interpret"] = True  # Pallas TPU kernels: interpret on CPU
-        short = _dc.replace(short, qc_options=opts)
+            o["interpret"] = True  # Pallas TPU kernels: interpret on CPU
+        return o
+
+    if parent_fused:
+        # TWO-CHECKPOINT FUSED WAVE: the decoder under simulation is the
+        # fused kernel itself, whose syndrome schedule is {T}. The
+        # compaction adds an early checkpoint: the effective decoder
+        # checks at {T1, T} — frames converged at T1 freeze there (their
+        # stage-1 output IS their result), survivors re-decode at full
+        # depth with the final check at T. This is a fully-specified
+        # decoder in its own right; the equivalent single program is
+        # "decode everyone at T1, decode everyone at T, select by the T1
+        # syndrome" (tests/test_sim.py builds exactly that comparator).
+        import math
+
+        short = _dc.replace(decoder, qc_options=None).truncated(T1)
+        short = _dc.replace(short, qc_options=_fuse_opts(parent_opts))
+        # stage 2 decodes only the S survivor rows: its batch tile must
+        # divide the budget
+        s2_opts = _fuse_opts(parent_opts)
+        s2_opts["batch_tile"] = math.gcd(survivor_budget,
+                                         s2_opts["batch_tile"])
+        decoder = _dc.replace(decoder, qc_options=s2_opts)
+    else:
+        short = decoder.truncated(early_iters)
+        if stage1_fused:
+            if decoder.qc is None:
+                raise ValueError("stage1_fused needs a QC decoder")
+            if ce != T1:
+                raise ValueError(
+                    f"stage1_fused requires check_every == early_exit_iters "
+                    f"(got {ce} vs {T1}): the fused kernel checks once at "
+                    "T1, which must be the truncated decoder's schedule")
+            short = _dc.replace(short, qc_options=_fuse_opts(
+                short.qc_options or {}))
     S = survivor_budget
-    full_fn = _make_wave_fn(decoder, wave_size)
 
     def _cut(w):  # the truncated decoder consumes [:T1]-sliced weights
         return jax.tree_util.tree_map(lambda a: a[:T1], w)
+
+    if parent_fused:
+        # overflow fallback with the SAME {T1, T} schedule: decode everyone
+        # at both depths and select by the T1 syndrome
+        @jax.jit
+        def full_fn(key, snr_db, weights):
+            llr = awgn_llr(key, jnp.zeros((wave_size, n), jnp.float32),
+                           snr_db)
+            out1 = short(llr, _cut(weights))
+            out2 = decoder(llr, weights)
+            conv = out1.success
+            bits = jnp.where(conv[:, None], out1.bits, out2.bits)
+            iters = jnp.where(conv, out1.iterations, out2.iterations)
+            succ = conv | out2.success
+            wrong = jnp.sum(bits, axis=-1)
+            return (jnp.sum(wrong > 0), jnp.sum(wrong), jnp.sum(iters),
+                    jnp.sum(succ))
+    else:
+        full_fn = _make_wave_fn(decoder, wave_size)
 
     @jax.jit
     def fused(key, snr_db, weights):

@@ -277,3 +277,53 @@ def test_compacting_wave_fused_stage1_exact():
     with pytest.raises(ValueError):
         _make_compacting_wave_fn(bad, 256, early_iters=2,
                                  survivor_budget=64, stage1_fused=True)
+
+
+@pytest.mark.parametrize("layered", [False, True])
+def test_two_checkpoint_fused_compaction_exact(layered):
+    """When the decoder under simulation is itself the fused kernel, the
+    compaction wave implements the {T1, T} two-checkpoint decoder. It must
+    match the explicit reference program (decode everyone at T1 AND at T,
+    select by the T1 syndrome) bit-for-bit — on both the compacted and the
+    overflow-fallback paths, for both schedules."""
+    import dataclasses
+
+    from ldpc_tpu.decode.qc_engine import build_qc_graph
+    from ldpc_tpu.sim.montecarlo import _make_compacting_wave_fn
+
+    base = np.array([[0, 3, 5, 7, 2], [4, 1, 6, 0, 3]])
+    code = ldpc_tpu.create_qc_code(base, lift=16, max_iterations=8)
+    qc = build_qc_graph(base, 16)
+    fdec = ldpc_tpu.rcq_min_sum(
+        code, bc=4, max_iterations=8, qc=qc, layered=layered,
+        qc_options={"fused": True, "batch_tile": 16, "interpret": True,
+                    "dtype": jnp.float32})
+    T1 = 2
+    short = dataclasses.replace(fdec, qc_options=None).truncated(T1)
+    short = dataclasses.replace(short, qc_options=fdec.qc_options)
+
+    def reference(key, snr):
+        llr = ldpc_tpu.awgn_llr(key, jnp.zeros((256, code.n)), snr)
+        w1 = {k: (None if v is None else v[:T1])
+              for k, v in fdec.weights.items()}
+        o1 = short(llr, w1)
+        o2 = fdec(llr)
+        conv = np.asarray(o1.success)
+        bits = np.where(conv[:, None], np.asarray(o1.bits),
+                        np.asarray(o2.bits))
+        iters = np.where(conv, np.asarray(o1.iterations),
+                         np.asarray(o2.iterations))
+        succ = conv | np.asarray(o2.success)
+        wrong = bits.sum(-1)
+        return (int((wrong > 0).sum()), int(wrong.sum()), int(iters.sum()),
+                int(succ.sum()))
+
+    for budget, snr in ((192, 2.5),   # compacted path
+                        (4, 1.0)):    # overflow -> fallback path
+        wave = _make_compacting_wave_fn(fdec, 256, early_iters=T1,
+                                        survivor_budget=budget,
+                                        stage1_batch_tile=16)
+        key = jax.random.PRNGKey(33)
+        got = tuple(int(v) for v in wave(key, jnp.float32(snr),
+                                         fdec.weights))
+        assert got == reference(key, snr), (budget, snr)
