@@ -240,6 +240,25 @@ def example_checkpointing():
         print(f"  restored epoch={epoch}, weights match: {same}")
 
 
+def example_zoo():
+    """Load the shipped pretrained decoder and decode with it."""
+    jax, jnp, ldpc_tpu = _setup()
+    from ldpc_tpu.channel import awgn_llr
+
+    entries = ldpc_tpu.list_pretrained()
+    for path, spec in entries:
+        print(f"  zoo entry: {spec['name']} at {path}")
+    if not entries:
+        print("  (no zoo entries found)")
+        return
+    # reduced schedule keeps this demo fast; weights tables are [:T]-sliced
+    dec = ldpc_tpu.load_pretrained(entries[0][0], max_iterations=5)
+    llr = awgn_llr(jax.random.PRNGKey(0), jnp.zeros((16, dec.code.n)), 6.75)
+    out = dec(llr)
+    print(f"  decoded 16 frames of n={dec.code.n}: "
+          f"{int(np.asarray(out.success).sum())}/16 converged at T=5")
+
+
 SCENARIOS = {
     "basic": example_basic_decoding,
     "neural": example_neural_decoders,
@@ -253,6 +272,7 @@ SCENARIOS = {
     "simulation": example_simulation,
     "weights": example_weight_analysis,
     "checkpoint": example_checkpointing,
+    "zoo": example_zoo,
 }
 
 

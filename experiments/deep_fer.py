@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import logging
 import os
 import sys
 
@@ -40,6 +41,9 @@ def run(frames: int = 10 ** 8, errors: int = 100, lift: int = 256,
         verbose: bool = True):
     from ldpc_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
+    # surface the simulator's per-point + heartbeat logger.info lines (the
+    # campaign launcher's staleness watchdog keys off log growth)
+    logging.basicConfig(level=logging.INFO, force=True)
 
     import jax.numpy as jnp
 

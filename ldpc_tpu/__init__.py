@@ -65,5 +65,6 @@ from ldpc_tpu.train import (
     TrainingConfig,
     posterior_joint_loss,
 )
+from ldpc_tpu.zoo import list_pretrained, load_pretrained, save_pretrained
 
 __version__ = "0.1.0"

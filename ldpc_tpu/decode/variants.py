@@ -156,6 +156,9 @@ class Decoder:
     # degree-bucketed fast path for irregular non-QC codes (zero-padding
     # dense reductions; see decode/bucketed_engine.py)
     bucketed_graph: Optional[object] = None
+    # the JSON-able make_decoder kwargs that built this decoder — lets
+    # ldpc_tpu.zoo persist/rebuild it (None for hand-assembled Decoders)
+    recipe: Optional[dict] = None
 
     def __call__(self, llr: jnp.ndarray, weights=None, *, ste: bool = False,
                  return_trajectory: bool = False) -> DecodeResult:
@@ -446,10 +449,18 @@ def make_decoder(
     if bucketed:
         from ldpc_tpu.decode.bucketed_engine import build_bucketed_graph
         bg = build_bucketed_graph(graph)
+    recipe = dict(
+        kind=kind, sharing_type=sharing_type, factor=factor,
+        max_iterations=T, bc=bc, bv=bv,
+        quantizer_params=[list(p) for p in quantizer_params],
+        v2c_quantizer_params=(None if v2c_quantizer_params is None
+                              else [list(p) for p in v2c_quantizer_params]),
+        layered=layered, num_layers=num_layers, init=init, seed=seed,
+        name=dname, bucketed=bucketed)
     return Decoder(
         name=dname, code=code, graph=graph, spec=spec, max_iterations=T,
         weights=weights, layered=layered, layer_checks=layer_checks, qc=qc,
-        qc_options=qc_options, bucketed_graph=bg)
+        qc_options=qc_options, bucketed_graph=bg, recipe=recipe)
 
 
 # -- reference-parity constructors -----------------------------------------

@@ -350,6 +350,7 @@ def simulate_single_snr(
     frame_errors = 0
     bit_errors = 0
     iter_sum = 0
+    last_beat = time.time()
     while frames < config.max_frames:
         if frame_errors >= config.max_errors and frames >= config.min_frames:
             break
@@ -359,6 +360,14 @@ def simulate_single_snr(
         frame_errors += int(fe)
         bit_errors += int(be)
         iter_sum += int(it)
+        now = time.time()
+        if now - last_beat >= 60:
+            # heartbeat for long (deep-FER) points: lets log-staleness
+            # watchdogs distinguish a slow healthy campaign from a wedged
+            # TPU client (CLAUDE.md service-hang pattern)
+            last_beat = now
+            logger.info("  ... %.2f dB: %d/%d frames, %d errors",
+                        snr_db, frames, config.max_frames, frame_errors)
 
     fer = frame_errors / frames
     ber = bit_errors / (frames * decoder.code.n)
