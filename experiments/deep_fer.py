@@ -34,8 +34,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run(frames: int = 10 ** 8, errors: int = 100, lift: int = 256,
-        wave: int = 32768, snr_lo: float = 6.4, snr_hi: float = 6.9,
+def run(frames: int = 5 * 10 ** 7, errors: int = 100, lift: int = 256,
+        wave: int = 32768, snr_lo: float = 6.4, snr_hi: float = 6.7,
         snr_step: float = 0.1, weights_ck: str | None = None,
         out_path: str = "experiments/deep_fer_results.json",
         verbose: bool = True):
@@ -138,11 +138,11 @@ def run(frames: int = 10 ** 8, errors: int = 100, lift: int = 256,
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--frames", type=int, default=10 ** 8)
+    ap.add_argument("--frames", type=int, default=5 * 10 ** 7)
     ap.add_argument("--errors", type=int, default=100)
     ap.add_argument("--wave", type=int, default=32768)
     ap.add_argument("--snr-lo", type=float, default=6.4)
-    ap.add_argument("--snr-hi", type=float, default=6.9)
+    ap.add_argument("--snr-hi", type=float, default=6.7)
     ap.add_argument("--snr-step", type=float, default=0.1)
     ap.add_argument("--weights", default="experiments/orcq_bc3_ck")
     ap.add_argument("--out", default="experiments/deep_fer_results.json")

@@ -180,7 +180,6 @@ def _make_kernel(qc: QCGraph, spec: VariantSpec, T: int, bt: int, dtype):
                 for k in range(1, len(blocks)):
                     colsum = colsum + ca[k]
                 llr_j = llr_ref[j][...]
-                post = llr_j + colsum
                 for k, b in enumerate(blocks):
                     ext = colsum - ca[k]
                     if spec.alpha_in_cn:
@@ -192,10 +191,16 @@ def _make_kernel(qc: QCGraph, spec: VariantSpec, T: int, bt: int, dtype):
                         nv = _kernel_qdq(nv, t, vthr_ref, vqp_ref,
                                          spec.v2c_levels, v_mode)
                     S[b] = _roll_lanes(nv.astype(dtype), -shifts[b])
-                if with_vqdq:
-                    post = _kernel_qdq(post, t, vthr_ref, vqp_ref,
-                                       spec.v2c_levels, v_mode)
-                post_ref[j] = post.astype(dtype)
+
+                # the posterior is only observed after the final iteration
+                # (check-at-the-end contract) — skip the qdq+store earlier
+                @pl.when(t == T - 1)
+                def _store_post(j=j, llr_j=llr_j, colsum=colsum):
+                    post = llr_j + colsum
+                    if with_vqdq:
+                        post = _kernel_qdq(post, t, vthr_ref, vqp_ref,
+                                           spec.v2c_levels, v_mode)
+                    post_ref[j] = post.astype(dtype)
             return carry
 
         jax.lax.fori_loop(0, T, body, 0)
@@ -312,7 +317,7 @@ def _make_layered_kernel(qc: QCGraph, spec: VariantSpec, T: int, bt: int,
     v_mode = _qdq_mode(spec.v2c_qparams, spec.v2c_levels)
 
     def kernel(llr_ref, beta_ref, alpha_ref, thr_ref, qp_ref, vthr_ref,
-               vqp_ref, post_ref, C, colsum):
+               vqp_ref, post_ref, C, colsum, NEG):
         # layered state: per-block c2v memory (VAR-aligned, like
         # qc_engine.qc_decode_batch_layered) + per-column running sum
         for b in range(NB):
@@ -337,11 +342,18 @@ def _make_layered_kernel(qc: QCGraph, spec: VariantSpec, T: int, bt: int,
                         nv = llr_ref[j] + ab * ext
                     return _roll_lanes(nv.astype(jnp.float32), -shifts[b])
 
+                # pass 1: running (min1, min2, first-argmin) + sign parity.
+                # Each block's fresh v2c is used here for its magnitude and
+                # its sign; pass 2 only needs the SIGN again, so that is
+                # all we cache (NEG scratch) — the ~7-op ca_k recompute per
+                # block was ~20% of the iteration.
                 x0 = ca_k(0)
                 min1 = jnp.abs(x0)
                 min2 = jnp.full_like(min1, INF)
                 argm = jnp.zeros(min1.shape, jnp.int32)
-                neg_cnt = (x0 < 0).astype(jnp.int32)
+                neg0 = (x0 < 0).astype(jnp.int32)
+                NEG[0] = neg0
+                neg_cnt = neg0
                 for k in range(1, dc):
                     xk = ca_k(k)
                     mk = jnp.abs(xk)
@@ -349,14 +361,15 @@ def _make_layered_kernel(qc: QCGraph, spec: VariantSpec, T: int, bt: int,
                     min2 = jnp.where(new_min, min1, jnp.minimum(min2, mk))
                     min1 = jnp.where(new_min, mk, min1)
                     argm = jnp.where(new_min, k, argm)
-                    neg_cnt = neg_cnt + (xk < 0).astype(jnp.int32)
+                    negk = (xk < 0).astype(jnp.int32)
+                    NEG[k] = negk
+                    neg_cnt = neg_cnt + negk
                 if dc == 1:
                     min2 = min1
                 for k in range(dc):
                     b = blocks[k]
-                    xk = ca_k(k)
                     loo_mag = jnp.where(argm == k, min2, min1)
-                    loo_neg = (neg_cnt - (xk < 0).astype(jnp.int32)) & 1
+                    loo_neg = (neg_cnt - NEG[k][...]) & 1
                     loo_sign = 1.0 - 2.0 * loo_neg.astype(jnp.float32)
                     bb = beta_ref[t, b]
                     ab = alpha_ref[t, b]
@@ -384,17 +397,20 @@ def _make_layered_kernel(qc: QCGraph, spec: VariantSpec, T: int, bt: int,
                     j = cols[b]
                     colsum[j] = colsum[j][...] + (new - C[b][...])
                     C[b] = new
-            # iteration-end posterior (bv quantization applies here, as in
-            # qc_decode_batch_layered)
-            for j in range(qc.nb):
-                post = llr_ref[j] + colsum[j][...]
-                if with_vqdq:
-                    post = _kernel_qdq(post, t, vthr_ref, vqp_ref,
-                                       spec.v2c_levels, v_mode)
-                post_ref[j] = post.astype(dtype)
             return carry
 
         jax.lax.fori_loop(0, T, body, 0)
+
+        # final posterior epilogue (bv quantization applies here, as in
+        # qc_decode_batch_layered). The per-iteration posteriors are never
+        # observed under the check-at-the-end contract, so only iteration
+        # T's is materialized.
+        for j in range(qc.nb):
+            post = llr_ref[j] + colsum[j][...]
+            if with_vqdq:
+                post = _kernel_qdq(post, T - 1, vthr_ref, vqp_ref,
+                                   spec.v2c_levels, v_mode)
+            post_ref[j] = post.astype(dtype)
 
     return kernel
 
@@ -430,7 +446,9 @@ def qc_fused_decode_batch_layered(
     L = qc.lift
     NB = qc.num_blocks
     bt = batch_tile
-    state_bytes = (NB + qc.nb) * bt * L * jnp.dtype(dtype).itemsize
+    max_dc = max(len(r) for r in qc.row_blocks)
+    state_bytes = ((NB + qc.nb) * jnp.dtype(dtype).itemsize
+                   + max_dc * 4) * bt * L
     if state_bytes > _STATE_BYTES_LIMIT:
         raise ValueError(
             f"layered state {state_bytes / 2**20:.1f} MB for "
@@ -467,7 +485,8 @@ def qc_fused_decode_batch_layered(
         out_specs=blk,
         out_shape=jax.ShapeDtypeStruct((qc.nb, Bsz, L), dtype),
         scratch_shapes=[pltpu.VMEM((NB, bt, L), dtype),
-                        pltpu.VMEM((qc.nb, bt, L), dtype)],
+                        pltpu.VMEM((qc.nb, bt, L), dtype),
+                        pltpu.VMEM((max_dc, bt, L), jnp.int32)],
         interpret=interpret,
     )(llr_blk, beta_tab.astype(jnp.float32),
       alpha_tab.astype(jnp.float32), thr, qp, vthr, vqp)
