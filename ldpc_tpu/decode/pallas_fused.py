@@ -317,7 +317,7 @@ def _make_layered_kernel(qc: QCGraph, spec: VariantSpec, T: int, bt: int,
     v_mode = _qdq_mode(spec.v2c_qparams, spec.v2c_levels)
 
     def kernel(llr_ref, beta_ref, alpha_ref, thr_ref, qp_ref, vthr_ref,
-               vqp_ref, post_ref, C, colsum, NEG):
+               vqp_ref, post_ref, C, colsum):
         # layered state: per-block c2v memory (VAR-aligned, like
         # qc_engine.qc_decode_batch_layered) + per-column running sum
         for b in range(NB):
@@ -329,48 +329,54 @@ def _make_layered_kernel(qc: QCGraph, spec: VariantSpec, T: int, bt: int,
             for blocks in row_blocks:
                 dc = len(blocks)
 
-                def ca_k(k):
-                    """Fresh check-aligned v2c for the k-th block: formed
-                    from the CURRENT posterior state (layered semantics)."""
+                # pass 1: fresh check-aligned v2c per block (from the
+                # CURRENT posterior state — layered semantics) feeds the
+                # running (min1, min2, first-argmin) + sign parity. Pass 2
+                # re-needs only each block's SIGN, so pass 1 stashes it
+                # IN PLACE of the old c2v: the old c2v is subtracted from
+                # colsum here (each base-row column appears once per row,
+                # so later blocks of this row are unaffected) and C[b]
+                # holds sign_k (+-1) until pass 2 overwrites it with the
+                # new c2v. No extra VMEM, and the ~7-op ca_k recompute per
+                # block (~20% of the iteration) is gone.
+                min1 = min2 = argm = neg_cnt = None
+                for k in range(dc):
                     b = blocks[k]
                     j = cols[b]
-                    ext = colsum[j][...] - C[b][...]
+                    old = C[b][...]
+                    ext = colsum[j][...] - old
                     if spec.alpha_in_cn:
                         nv = llr_ref[j] + ext
                     else:
                         ab = alpha_ref[t, b]
                         nv = llr_ref[j] + ab * ext
-                    return _roll_lanes(nv.astype(jnp.float32), -shifts[b])
-
-                # pass 1: running (min1, min2, first-argmin) + sign parity.
-                # Each block's fresh v2c is used here for its magnitude and
-                # its sign; pass 2 only needs the SIGN again, so that is
-                # all we cache (NEG scratch) — the ~7-op ca_k recompute per
-                # block was ~20% of the iteration.
-                x0 = ca_k(0)
-                min1 = jnp.abs(x0)
-                min2 = jnp.full_like(min1, INF)
-                argm = jnp.zeros(min1.shape, jnp.int32)
-                neg0 = (x0 < 0).astype(jnp.int32)
-                NEG[0] = neg0
-                neg_cnt = neg0
-                for k in range(1, dc):
-                    xk = ca_k(k)
-                    mk = jnp.abs(xk)
-                    new_min = mk < min1
-                    min2 = jnp.where(new_min, min1, jnp.minimum(min2, mk))
-                    min1 = jnp.where(new_min, mk, min1)
-                    argm = jnp.where(new_min, k, argm)
+                    xk = _roll_lanes(nv.astype(jnp.float32), -shifts[b])
+                    colsum[j] = ext.astype(dtype)  # old c2v removed
                     negk = (xk < 0).astype(jnp.int32)
-                    NEG[k] = negk
-                    neg_cnt = neg_cnt + negk
+                    C[b] = (1.0 - 2.0 * negk.astype(jnp.float32)
+                            ).astype(dtype)        # stash sign_k
+                    mk = jnp.abs(xk)
+                    if k == 0:
+                        min1 = mk
+                        min2 = jnp.full_like(min1, INF)
+                        argm = jnp.zeros(min1.shape, jnp.int32)
+                        neg_cnt = negk
+                    else:
+                        new_min = mk < min1
+                        min2 = jnp.where(new_min, min1,
+                                         jnp.minimum(min2, mk))
+                        min1 = jnp.where(new_min, mk, min1)
+                        argm = jnp.where(new_min, k, argm)
+                        neg_cnt = neg_cnt + negk
                 if dc == 1:
                     min2 = min1
+                # sign parity of the whole row; leave-one-out divides by
+                # (= multiplies by) the left-out block's stashed sign
+                row_sign = 1.0 - 2.0 * (neg_cnt & 1).astype(jnp.float32)
                 for k in range(dc):
                     b = blocks[k]
                     loo_mag = jnp.where(argm == k, min2, min1)
-                    loo_neg = (neg_cnt - NEG[k][...]) & 1
-                    loo_sign = 1.0 - 2.0 * loo_neg.astype(jnp.float32)
+                    loo_sign = row_sign * C[b][...].astype(jnp.float32)
                     bb = beta_ref[t, b]
                     ab = alpha_ref[t, b]
                     if spec.kind == "nms":
@@ -395,7 +401,7 @@ def _make_layered_kernel(qc: QCGraph, spec: VariantSpec, T: int, bt: int,
                                           qp_ref, spec.q_levels, q_mode)
                     new = _roll_lanes(out, shifts[b]).astype(dtype)
                     j = cols[b]
-                    colsum[j] = colsum[j][...] + (new - C[b][...])
+                    colsum[j] = colsum[j][...] + new  # old removed in pass 1
                     C[b] = new
             return carry
 
@@ -446,9 +452,7 @@ def qc_fused_decode_batch_layered(
     L = qc.lift
     NB = qc.num_blocks
     bt = batch_tile
-    max_dc = max(len(r) for r in qc.row_blocks)
-    state_bytes = ((NB + qc.nb) * jnp.dtype(dtype).itemsize
-                   + max_dc * 4) * bt * L
+    state_bytes = (NB + qc.nb) * bt * L * jnp.dtype(dtype).itemsize
     if state_bytes > _STATE_BYTES_LIMIT:
         raise ValueError(
             f"layered state {state_bytes / 2**20:.1f} MB for "
@@ -485,8 +489,7 @@ def qc_fused_decode_batch_layered(
         out_specs=blk,
         out_shape=jax.ShapeDtypeStruct((qc.nb, Bsz, L), dtype),
         scratch_shapes=[pltpu.VMEM((NB, bt, L), dtype),
-                        pltpu.VMEM((qc.nb, bt, L), dtype),
-                        pltpu.VMEM((max_dc, bt, L), jnp.int32)],
+                        pltpu.VMEM((qc.nb, bt, L), dtype)],
         interpret=interpret,
     )(llr_blk, beta_tab.astype(jnp.float32),
       alpha_tab.astype(jnp.float32), thr, qp, vthr, vqp)
