@@ -1,0 +1,136 @@
+"""Train layered W-OMS-RCQ at short schedules (T=5, T=4) to move the
+headline bench below T=6.
+
+Layered T=6 plain RCQ already FER-dominates flooding T=10 (docs/RESULTS
+§10). Each layered iteration removed is a direct ~1/T throughput
+multiplier on the fused kernel (iterations are serial; everything else is
+batched). This experiment asks: do TRAINED degree-shared weights (the
+paper's W-OMS-RCQ) recover enough FER at T=5 / T=4 to match or beat the
+T=6 plain-RCQ operating curve? Uses the round-2 layered-trajectory
+training path (``qc_decode_batch_layered(..., return_trajectory=True)``).
+
+Decision rule: a candidate replaces the bench config iff its FER <= the
+current bench decoder's at BOTH operating points (6.25, 6.5 dB).
+
+    python experiments/train_layered_short.py [--epochs 24]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+QP = ((2.0, 1.3), (4.0, 1.3), (6.0, 1.3))
+VQP = ((4.0, 1.0), (8.0, 1.0), (12.0, 1.0))
+
+
+def run(epochs: int = 24, frames: int = 65536, lift: int = 256,
+        base_shape: tuple = (5, 37),
+        out_path: str = "experiments/train_layered_short_results.json",
+        verbose: bool = True):
+    from ldpc_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    import logging
+    logging.basicConfig(level=logging.INFO, force=True)
+
+    import jax.numpy as jnp
+
+    import ldpc_tpu
+    from ldpc_tpu.decode.qc_engine import build_qc_graph
+    from ldpc_tpu.sim import SimulationConfig, simulate_single_snr
+    from ldpc_tpu.train import PosteriorJointTrainer, TrainingConfig
+    from ldpc_tpu.utils.checkpoint import save_checkpoint
+
+    import jax
+
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, lift, size=base_shape)
+    qc = build_qc_graph(base, lift)
+    fused = dict(fused=True, batch_tile=64, dtype=jnp.bfloat16)
+    if jax.default_backend() == "cpu":  # CPU smoke runs: interpret Pallas
+        fused = dict(fused, interpret=True, dtype=jnp.float32)
+
+    def mk(T, kind, trained_weights=None, opts=fused):
+        code = ldpc_tpu.create_qc_code(base, lift=lift, max_iterations=T)
+        kw = {} if kind in ("ms", "rcq") else dict(sharing_type=2)
+        dec = ldpc_tpu.make_decoder(
+            code, kind=kind, bc=3, bv=8, quantizer_params=QP,
+            v2c_quantizer_params=VQP, max_iterations=T, qc=qc,
+            layered=True, qc_options=opts, **kw)
+        if trained_weights is not None:
+            dec.weights = {k: jnp.asarray(v)
+                           for k, v in trained_weights.items()}
+        return dec
+
+    # -- train at each short schedule --------------------------------------
+    candidates = {}
+    for T in (5, 4):
+        dec = mk(T, "orcq", opts=fused)
+        tr = PosteriorJointTrainer(
+            dec, TrainingConfig(batch_size=128, num_epochs=epochs,
+                                learning_rate=2e-3, snr_range=(5.5, 7.5),
+                                early_stop_accuracy=2.0, seed=0))
+        hist = tr.train(num_samples=2048, verbose=verbose)
+        if verbose:
+            print(f"T={T}: final loss {hist['training_losses'][-1]:.5f}",
+                  flush=True)
+        save_checkpoint(f"experiments/orcq_layered_t{T}_ck",
+                        {k: v for k, v in dec.weights.items()
+                         if v is not None})
+        candidates[f"W-OMS-RCQ-L{T}"] = dec
+
+    # -- FER at the operating points ---------------------------------------
+    zoo = {
+        "RCQ-L6 (bench)": mk(6, "rcq"),
+        "RCQ-L5": mk(5, "rcq"),
+        **candidates,
+    }
+    points = (6.25, 6.5)
+    cfg = SimulationConfig(snr_range=(0, 0), max_frames=frames,
+                           max_errors=10 ** 9, min_frames=0,
+                           wave_size=16384, seed=11)
+    fers = {}
+    for name, dec in zoo.items():
+        fers[name] = {}
+        for snr in points:
+            fer = simulate_single_snr(dec, snr, cfg)[0]
+            fers[name][str(snr)] = fer
+            if verbose:
+                print(f"{name:18s} @ {snr} dB: FER {fer:.3e}", flush=True)
+
+    bench = fers["RCQ-L6 (bench)"]
+    verdicts = {}
+    for name in candidates:
+        ok = all(fers[name][str(s)] <= bench[str(s)] for s in points)
+        verdicts[name] = ("REPLACES bench (FER <= layered-T6 RCQ at both "
+                          "points)" if ok else "keeps T=6 bench")
+        if verbose:
+            print(f"{name}: {verdicts[name]}", flush=True)
+
+    report = {
+        "code": f"QC(9472,8192) lift={lift}, layered, bc=3 bv=8, "
+                f"ladder 2-4-6@1.3 uniform bv",
+        "frames_per_point": frames,
+        "fers": fers,
+        "verdicts": verdicts,
+    }
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=2)
+    print(f"results -> {out_path}", flush=True)
+    return report
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=24)
+    ap.add_argument("--frames", type=int, default=65536)
+    ap.add_argument("--out",
+                    default="experiments/train_layered_short_results.json")
+    args = ap.parse_args()
+    run(args.epochs, args.frames, out_path=args.out)
