@@ -42,12 +42,17 @@ def _time(fn, llr, reps):
     s.block_until_ready()
     s = jnp.sum(fn(llr).posterior)
     np.asarray(s)  # settle the tunnel
-    t0 = time.time()
-    acc = jnp.zeros(())
-    for _ in range(reps):
-        acc = acc + jnp.sum(fn(llr).iterations)
-    float(np.asarray(acc))
-    return time.time() - t0
+    # best of 3 trials: the first post-warmup trial on this runtime can
+    # still run 1.5-3x slow (bench.py has the same guard)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        acc = jnp.zeros(())
+        for _ in range(reps):
+            acc = acc + jnp.sum(fn(llr).iterations)
+        float(np.asarray(acc))
+        best = min(best, time.time() - t0)
+    return best
 
 
 def run(reps: int = 10, out_path: str = "experiments/throughput_matrix.json",
@@ -104,7 +109,10 @@ def run(reps: int = 10, out_path: str = "experiments/throughput_matrix.json",
     dec = ldpc_tpu.make_decoder(c2, kind="rcq", bc=3, bv=8,
                                 quantizer_params=QP,
                                 v2c_quantizer_params=VQP, max_iterations=6,
-                                qc=qc2, layered=True, qc_options=fused)
+                                qc=qc2, layered=True,
+                                qc_options=dict(fused, batch_tile=None))
+    # batch_tile=None: lift-360 blocks pad lanes to 384, so the auto-pick
+    # drops to 32 to fit scoped VMEM (64 OOMs the v5e compiler at 21.4 MB)
     measure("dvbs2_16200_layered6_fused", dec, 4096, 1.6)
 
     # 3. Tanner (155, 64): tiny blocks (lift 31)

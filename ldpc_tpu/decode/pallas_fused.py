@@ -50,11 +50,44 @@ from ldpc_tpu.decode.engine import DecodeResult, VariantSpec
 from ldpc_tpu.decode.qc_engine import QCGraph
 from ldpc_tpu.quantizer import power_qdq, uniform_qdq
 
-__all__ = ["qc_fused_decode_batch", "qc_fused_decode_batch_layered"]
+__all__ = ["qc_fused_decode_batch", "qc_fused_decode_batch_layered",
+           "max_batch_tile"]
 
-# VMEM is ~16 MB/core on v5e; leave headroom for the double-buffered
-# llr/posterior blocks and the min-tree temporaries.
-_STATE_BYTES_LIMIT = 11 * 2 ** 20
+# v5e scoped VMEM is 16 MB/core. The kernel's footprint is the message
+# state scratch + the double-buffered llr/posterior IO blocks, plus
+# Mosaic's stack (min-tree f32 temporaries, roll concat buffers). The
+# stack overhead depends on lane alignment: with lift % 128 == 0 the
+# rolls stay register-resident and the bench graph (state+io 12.1 MB at
+# batch_tile=64) compiles within the 16 MB budget (overhead <= ~1.3x);
+# with an unaligned lift the compiler materializes padded intermediates —
+# the DVB-S2 lift-360 graph measured 21.42 MB scoped at batch_tile=64
+# (state+io 15.7 MB) and still 16.33 MB at batch_tile=40 (9.8 MB), so the
+# unaligned factor is calibrated conservatively at 1.95.
+_VMEM_LIMIT = 16 * 2 ** 20
+
+
+def _fused_vmem_bytes(qc: QCGraph, bt: int, dtype, layered: bool) -> int:
+    lanes = -(-qc.lift // 128) * 128  # lane dimension pads to 128
+    item = jnp.dtype(dtype).itemsize
+    state = (qc.num_blocks + (qc.nb if layered else 0)) * bt * lanes * item
+    io = 4 * qc.nb * bt * lanes * item  # llr in + post out, double-buffered
+    overhead = 1.31 if qc.lift % 128 == 0 else 1.95
+    return int(overhead * (state + io))
+
+
+def max_batch_tile(qc: QCGraph, *, layered: bool = True,
+                   dtype=jnp.bfloat16, batch: int | None = None) -> int:
+    """Largest ``batch_tile`` (multiple of 8, <=1024) whose whole-decode
+    kernel fits v5e scoped VMEM; if ``batch`` is given, also a divisor of
+    it. Pass ``batch_tile=None`` to the decode functions to apply this
+    automatically (lift-360 codes need 32, the bench lift-256 graph 64)."""
+    best = 8
+    for cand in range(8, 1025, 8):
+        if _fused_vmem_bytes(qc, cand, dtype, layered) > _VMEM_LIMIT:
+            break
+        if batch is None or batch % cand == 0:
+            best = cand
+    return best
 
 
 def _roll_lanes(x: jnp.ndarray, s: int) -> jnp.ndarray:
@@ -218,7 +251,7 @@ def qc_fused_decode_batch(
     spec: VariantSpec,
     max_iterations: int,
     dtype=jnp.bfloat16,
-    batch_tile: int = 64,
+    batch_tile: int | None = 64,
     interpret: bool = False,
 ) -> DecodeResult:
     """Flooding QC decode in ONE whole-decode Pallas kernel.
@@ -231,17 +264,21 @@ def qc_fused_decode_batch(
     """
     T = max_iterations
     Bsz, n = llr.shape
+    if batch_tile is None:
+        batch_tile = max_batch_tile(qc, layered=False, dtype=dtype,
+                                    batch=Bsz)
     if Bsz % batch_tile:
         raise ValueError(f"batch {Bsz} not divisible by tile {batch_tile}")
     L = qc.lift
     NB = qc.num_blocks
     bt = batch_tile
-    state_bytes = NB * bt * L * jnp.dtype(dtype).itemsize
-    if state_bytes > _STATE_BYTES_LIMIT:
+    est = _fused_vmem_bytes(qc, bt, dtype, layered=False)
+    if est > _VMEM_LIMIT:
         raise ValueError(
-            f"message state {state_bytes / 2**20:.1f} MB for "
-            f"batch_tile={bt} exceeds the VMEM budget "
-            f"({_STATE_BYTES_LIMIT / 2**20:.0f} MB); reduce batch_tile")
+            f"estimated kernel VMEM {est / 2**20:.1f} MB for "
+            f"batch_tile={bt} exceeds the 16 MB scoped budget; use "
+            f"batch_tile<={max_batch_tile(qc, layered=False, dtype=dtype)} "
+            f"(or batch_tile=None to auto-pick)")
 
     # [nb, B, L]: per-base-column tiles, batch on sublanes, lift on lanes
     llr_blk = llr.astype(dtype).reshape(Bsz, qc.nb, L).transpose(1, 0, 2)
@@ -431,7 +468,7 @@ def qc_fused_decode_batch_layered(
     spec: VariantSpec,
     max_iterations: int,
     dtype=jnp.bfloat16,
-    batch_tile: int = 64,
+    batch_tile: int | None = 64,
     interpret: bool = False,
 ) -> DecodeResult:
     """Layered-schedule whole-decode Pallas kernel.
@@ -447,16 +484,21 @@ def qc_fused_decode_batch_layered(
     """
     T = max_iterations
     Bsz, n = llr.shape
+    if batch_tile is None:
+        batch_tile = max_batch_tile(qc, layered=True, dtype=dtype,
+                                    batch=Bsz)
     if Bsz % batch_tile:
         raise ValueError(f"batch {Bsz} not divisible by tile {batch_tile}")
     L = qc.lift
     NB = qc.num_blocks
     bt = batch_tile
-    state_bytes = (NB + qc.nb) * bt * L * jnp.dtype(dtype).itemsize
-    if state_bytes > _STATE_BYTES_LIMIT:
+    est = _fused_vmem_bytes(qc, bt, dtype, layered=True)
+    if est > _VMEM_LIMIT:
         raise ValueError(
-            f"layered state {state_bytes / 2**20:.1f} MB for "
-            f"batch_tile={bt} exceeds the VMEM budget; reduce batch_tile")
+            f"estimated kernel VMEM {est / 2**20:.1f} MB for "
+            f"batch_tile={bt} exceeds the 16 MB scoped budget; use "
+            f"batch_tile<={max_batch_tile(qc, layered=True, dtype=dtype)} "
+            f"(or batch_tile=None to auto-pick)")
 
     llr_blk = llr.astype(dtype).reshape(Bsz, qc.nb, L).transpose(1, 0, 2)
 

@@ -179,3 +179,40 @@ def test_decoder_layered_fused_option():
     out = fdec(llr)
     last_bits = (np.asarray(ref.posteriors_all[-1]) < 0).astype(np.int32)
     np.testing.assert_array_equal(np.asarray(out.bits), last_bits)
+
+
+def test_max_batch_tile_accounting():
+    """The VMEM estimator admits the known-good bench graph at tile 64 and
+    rejects the known-OOM DVB-S2 lift-360 graph at 64 (the v5e compiler
+    measured 21.42 MB scoped VMEM for it — the auto-pick must stay under
+    the 16 MB budget)."""
+    from ldpc_tpu.codes import load_protograph
+    from ldpc_tpu.decode.pallas_fused import (_fused_vmem_bytes,
+                                              max_batch_tile)
+
+    rng = np.random.default_rng(0)
+    bench_qc = build_qc_graph(rng.integers(0, 256, size=(5, 37)), 256)
+    assert max_batch_tile(bench_qc, layered=True) >= 64
+
+    b2, lift2 = load_protograph("codes/dvbs2_like_16200_7200.proto")
+    qc2 = build_qc_graph(b2, lift2)
+    bt2 = max_batch_tile(qc2, layered=True)
+    assert bt2 < 64
+    assert _fused_vmem_bytes(qc2, bt2, jnp.bfloat16, True) <= 16 * 2 ** 20
+    # divisor constraint: candidate tiles must divide the batch
+    assert 4080 % max_batch_tile(qc2, layered=True, batch=4080) == 0
+    assert 4096 % max_batch_tile(qc2, layered=True, batch=4096) == 0
+
+
+def test_fused_auto_batch_tile_interpret():
+    """batch_tile=None auto-picks a valid tile and decodes correctly."""
+    T = 3
+    code, qc, dec = _setup(2, 4, 16, T, base_seed=5, kind="ms")
+    llr = awgn_llr(jax.random.PRNGKey(1), jnp.zeros((32, code.n)), 2.0)
+    out = qc_fused_decode_batch(llr, dec.weights, qc=qc, spec=dec.spec,
+                                max_iterations=T, batch_tile=None,
+                                dtype=jnp.float32, interpret=True)
+    ref = qc_decode_batch(llr, dec.weights, qc=qc, spec=dec.spec,
+                          max_iterations=T, check_every=T)
+    np.testing.assert_array_equal(np.asarray(out.bits),
+                                  np.asarray(ref.bits))
