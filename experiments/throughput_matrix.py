@@ -126,6 +126,18 @@ def run(reps: int = 10, out_path: str = "experiments/throughput_matrix.json",
                                 qc_options=dict(fused, batch_tile=512))
     measure("tanner155_layered6_fused", dec, 16384, 4.0)
 
+    # 3b. QC-lifted PBRL (paper §VII-C structure, lift 86): the fused-path
+    #     quote for the same irregular family measured flat in 4. below
+    b5, lift5 = ldpc_tpu.create_pbrl_qc_protograph(k=1032, rate=1 / 3)
+    qc5 = build_qc_graph(b5, lift5)
+    c5 = ldpc_tpu.create_qc_code(b5, lift=lift5, max_iterations=10)
+    dec = ldpc_tpu.make_decoder(c5, kind="rcq", bc=3, bv=8,
+                                quantizer_params=QP,
+                                v2c_quantizer_params=VQP, max_iterations=10,
+                                qc=qc5, layered=True,
+                                qc_options=dict(fused, batch_tile=None))
+    measure("pbrl3096_qc_layered10_fused", dec, 8192, 1.2)
+
     # 4. PBRL-like irregular non-QC: general vs bucketed engine
     c4 = ldpc_tpu.create_pbrl_like_code(k=1032, rate=1 / 3,
                                         max_iterations=10)

@@ -15,6 +15,7 @@ from ldpc_tpu.codes import (
     create_dvbs2_like_code,
     create_dvbs2_qc_protograph,
     create_pbrl_family,
+    create_pbrl_qc_protograph,
     create_pbrl_like_code,
     create_peg_code,
     create_qc_code,

@@ -686,3 +686,62 @@ def create_array_code(p: int, j_rows: int = 3, k_cols: int = 5,
     code = create_qc_code(base, lift=p, max_iterations=max_iterations)
     k = code.n - gf2_rank(code.H)
     return LDPCCode(n=code.n, k=k, H=code.H, max_iterations=max_iterations)
+
+
+def create_pbrl_qc_protograph(
+    k: int = 1032,
+    rate: float = 1 / 3,
+    lift: int = 86,
+    dv_info: int = 3,
+    ir_taps: int = 3,
+    seed: int = 0,
+) -> Tuple[np.ndarray, int]:
+    """QC-lifted PBRL protograph (paper §VII-C family, k=1032).
+
+    Real PBRL codes are protograph codes lifted by circulants — which is
+    what makes them implementable — so on TPU they belong on the QC roll
+    engine / fused whole-decode kernel, not the gather path.
+    :func:`create_pbrl_like_code` builds the same structure flat (for
+    exercising the general/bucketed engines); this builder emits the
+    ``(base_matrix, lift)`` form: an IRA core (info base columns with
+    ``dv_info`` circulant blocks on distinct core rows + dual-diagonal
+    staircase parity) and raptor-like incremental-redundancy rows (each
+    taps ``ir_taps`` info columns and one fresh degree-1 parity column).
+
+    Rate compatibility is by construction: for a higher rate ``r`` with
+    ``mb_r = nb_r - kb`` base rows (``mb_r >= mb_core``), the leading
+    submatrix ``B[:mb_r, :nb_r]`` is that rate's protograph — the same
+    leading-submatrix property :func:`create_pbrl_family` verifies in the
+    lifted domain.
+    """
+    if k % lift:
+        raise ValueError(f"k={k} must be a multiple of lift={lift}")
+    n = int(round(k / rate))
+    if n % lift:
+        raise ValueError(f"n={n} (k/rate) must be a multiple of lift={lift}")
+    kb, nb = k // lift, n // lift
+    mb = nb - kb
+    mb_core = min(mb, kb)
+    if dv_info > mb_core:
+        raise ValueError(f"dv_info={dv_info} > core rows {mb_core}")
+    rng = np.random.default_rng(seed)
+    B = np.full((mb, nb), -1, dtype=np.int64)
+    # IRA core: info columns spread over core rows, staircase parity
+    row_load = np.zeros(mb_core, dtype=np.int64)
+    for j in range(kb):
+        rows = np.argsort(row_load + rng.uniform(0, 0.5, mb_core))[:dv_info]
+        for r in rows:
+            B[r, j] = rng.integers(0, lift)
+            row_load[r] += 1
+    for p in range(mb_core):
+        B[p, kb + p] = 0
+        if p > 0:
+            B[p, kb + p - 1] = 0
+    # incremental-redundancy rows: ir_taps info blocks + a fresh degree-1
+    # parity block each (the defining raptor-like extension)
+    for t in range(mb - mb_core):
+        i = mb_core + t
+        for j in rng.choice(kb, size=ir_taps, replace=False):
+            B[i, j] = rng.integers(0, lift)
+        B[i, kb + mb_core + t] = 0
+    return B, lift

@@ -267,3 +267,37 @@ def test_committed_code_matrices_match_constructions():
     ref, ref_lift = create_dvbs2_qc_protograph()
     assert lift2 == ref_lift == 360
     np.testing.assert_array_equal(B2, ref)
+
+
+def test_pbrl_qc_protograph():
+    """QC PBRL (paper §VII-C structure): full rank, irregular degrees,
+    leading-submatrix rate compatibility, and QC-engine decode parity."""
+    import jax
+    import jax.numpy as jnp
+
+    import ldpc_tpu
+    from ldpc_tpu.channel import awgn_llr
+    from ldpc_tpu.codes import create_qc_code, gf2_rank
+    from ldpc_tpu.decode.qc_engine import build_qc_graph, qc_decode_batch
+
+    B, L = ldpc_tpu.create_pbrl_qc_protograph(k=1032, rate=1 / 3, lift=86)
+    assert B.shape == (24, 36) and L == 86
+    code = create_qc_code(B, L, max_iterations=8)
+    assert code.n == 3096 and code.k == 1032
+    assert gf2_rank(code.H) == code.n - code.k  # full rank
+    col_deg = (B >= 0).sum(0)
+    assert col_deg.min() == 1 and col_deg.max() >= 6  # genuinely irregular
+
+    # leading submatrix of the rate-1/3 mother == the rate-1/2 protograph
+    B2, _ = ldpc_tpu.create_pbrl_qc_protograph(k=1032, rate=1 / 2, lift=86)
+    assert (B[: B2.shape[0], : B2.shape[1]] == B2).all()
+
+    # QC roll engine == general engine on this irregular protograph
+    dec = ldpc_tpu.basic_min_sum(code)
+    qc = build_qc_graph(B, L)
+    llr = awgn_llr(jax.random.PRNGKey(0), jnp.zeros((16, code.n)), 1.0)
+    ref = dec(llr)
+    out = qc_decode_batch(llr, dec.weights, qc=qc, spec=dec.spec,
+                          max_iterations=8)
+    np.testing.assert_array_equal(np.asarray(out.bits),
+                                  np.asarray(ref.bits))
