@@ -132,6 +132,33 @@ def _kernel_qdq(x, t, thr_ref, qp_ref, levels: int, mode: str):
     return jnp.where(x < 0, -snapped, snapped)
 
 
+def _syndrome_epilogue(post_ref, fail_ref, PAR, qc: QCGraph, bt: int, L,
+                       dtype):
+    """In-kernel syndrome: parity of each base row as a product of
+    check-aligned posterior signs, on VMEM-resident tiles (replaces the
+    former XLA epilogue's HBM-resident jnp.roll XORs — ~38% of decode
+    time by profiling). Signs come from the STORED (dtype-rounded)
+    posterior so the result matches an XLA recomputation from post_ref
+    exactly. Accumulation goes through the PAR/fail_ref refs rather than
+    loop-carried values: Mosaic's scoped-VMEM stack does not recycle
+    slots across unrolled iterations of a value chain (a value-carried
+    version measured +6.7 MB and OOM'd), while ref stores end liveness
+    each step. fail > 0 on a frame lane iff some check fails."""
+    cols = [int(c) for c in qc.block_col]
+    shifts = [int(s) for s in qc.block_shift]
+    fail_ref[0] = jnp.zeros((bt, L), dtype)
+    for blocks in qc.row_blocks:
+        for k, b in enumerate(blocks):
+            b = int(b)
+            s = 1.0 - 2.0 * (post_ref[cols[b]][...].astype(jnp.float32)
+                             < 0).astype(jnp.float32)
+            s = _roll_lanes(s, -shifts[b])
+            PAR[...] = s if k == 0 else PAR[...] * s
+        fail_ref[0] = jnp.maximum(
+            fail_ref[0][...],
+            (PAR[...] < 0).astype(jnp.float32).astype(dtype))
+
+
 def _make_kernel(qc: QCGraph, spec: VariantSpec, T: int, bt: int, dtype):
     NB = qc.num_blocks
     L = qc.lift
@@ -147,7 +174,7 @@ def _make_kernel(qc: QCGraph, spec: VariantSpec, T: int, bt: int, dtype):
     v_mode = _qdq_mode(spec.v2c_qparams, spec.v2c_levels)
 
     def kernel(llr_ref, beta_ref, alpha_ref, thr_ref, qp_ref, vthr_ref,
-               vqp_ref, post_ref, S):
+               vqp_ref, post_ref, fail_ref, S, PAR):
         # init: check-aligned v2c = rolled channel LLRs (SURVEY §2b step 2)
         for b in range(NB):
             S[b] = _roll_lanes(llr_ref[cols[b]], -shifts[b])
@@ -237,6 +264,7 @@ def _make_kernel(qc: QCGraph, spec: VariantSpec, T: int, bt: int, dtype):
             return carry
 
         jax.lax.fori_loop(0, T, body, 0)
+        _syndrome_epilogue(post_ref, fail_ref, PAR, qc, bt, L, dtype)
 
     return kernel
 
@@ -306,32 +334,27 @@ def qc_fused_decode_batch(
     grid = (Bsz // bt,)
     blk = pl.BlockSpec((qc.nb, bt, L), lambda i: (0, i, 0),
                        memory_space=pltpu.VMEM)
+    fail_blk = pl.BlockSpec((1, bt, L), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
     smem = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
                                   memory_space=pltpu.SMEM)
-    post_blk = pl.pallas_call(
+    post_blk, fail = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[blk, smem(beta_tab), smem(alpha_tab), smem(thr),
                   smem(qp), smem(vthr), smem(vqp)],
-        out_specs=blk,
-        out_shape=jax.ShapeDtypeStruct((qc.nb, Bsz, L), dtype),
-        scratch_shapes=[pltpu.VMEM((NB, bt, L), dtype)],
+        out_specs=[blk, fail_blk],
+        out_shape=[jax.ShapeDtypeStruct((qc.nb, Bsz, L), dtype),
+                   jax.ShapeDtypeStruct((1, Bsz, L), dtype)],
+        scratch_shapes=[pltpu.VMEM((NB, bt, L), dtype),
+                        pltpu.VMEM((bt, L), jnp.float32)],
         interpret=interpret,
     )(llr_blk, beta_tab.astype(jnp.float32),
       alpha_tab.astype(jnp.float32), thr, qp, vthr, vqp)
 
     post = post_blk.transpose(1, 0, 2).reshape(Bsz, n)  # [B, n]
     bits = (post < 0).astype(jnp.int32)
-
-    # syndrome epilogue (XLA): same roll-based parity as qc_engine
-    bits_blocks = bits.T.reshape(qc.nb, L, Bsz)
-    ok = jnp.ones((Bsz,), bool)
-    for i in range(qc.mb):
-        par = jnp.zeros((L, Bsz), jnp.int32)
-        for b in qc.row_blocks[i]:
-            par = par ^ jnp.roll(bits_blocks[int(qc.block_col[b])],
-                                 -int(qc.block_shift[b]), axis=0)
-        ok = ok & ~jnp.any(par > 0, axis=0)
+    ok = ~jnp.any(fail[0] > 0, axis=-1)  # in-kernel syndrome
 
     return DecodeResult(
         bits=bits, posterior=post,
@@ -354,7 +377,7 @@ def _make_layered_kernel(qc: QCGraph, spec: VariantSpec, T: int, bt: int,
     v_mode = _qdq_mode(spec.v2c_qparams, spec.v2c_levels)
 
     def kernel(llr_ref, beta_ref, alpha_ref, thr_ref, qp_ref, vthr_ref,
-               vqp_ref, post_ref, C, colsum):
+               vqp_ref, post_ref, fail_ref, C, colsum, PAR):
         # layered state: per-block c2v memory (VAR-aligned, like
         # qc_engine.qc_decode_batch_layered) + per-column running sum
         for b in range(NB):
@@ -455,6 +478,8 @@ def _make_layered_kernel(qc: QCGraph, spec: VariantSpec, T: int, bt: int,
                                    spec.v2c_levels, v_mode)
             post_ref[j] = post.astype(dtype)
 
+        _syndrome_epilogue(post_ref, fail_ref, PAR, qc, bt, L, dtype)
+
     return kernel
 
 
@@ -521,31 +546,28 @@ def qc_fused_decode_batch_layered(
     kernel = _make_layered_kernel(qc, spec, T, bt, dtype)
     blk = pl.BlockSpec((qc.nb, bt, L), lambda i: (0, i, 0),
                        memory_space=pltpu.VMEM)
+    fail_blk = pl.BlockSpec((1, bt, L), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
     smem = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
                                   memory_space=pltpu.SMEM)
-    post_blk = pl.pallas_call(
+    post_blk, fail = pl.pallas_call(
         kernel,
         grid=(Bsz // bt,),
         in_specs=[blk, smem(beta_tab), smem(alpha_tab), smem(thr),
                   smem(qp), smem(vthr), smem(vqp)],
-        out_specs=blk,
-        out_shape=jax.ShapeDtypeStruct((qc.nb, Bsz, L), dtype),
+        out_specs=[blk, fail_blk],
+        out_shape=[jax.ShapeDtypeStruct((qc.nb, Bsz, L), dtype),
+                   jax.ShapeDtypeStruct((1, Bsz, L), dtype)],
         scratch_shapes=[pltpu.VMEM((NB, bt, L), dtype),
-                        pltpu.VMEM((qc.nb, bt, L), dtype)],
+                        pltpu.VMEM((qc.nb, bt, L), dtype),
+                        pltpu.VMEM((bt, L), jnp.float32)],
         interpret=interpret,
     )(llr_blk, beta_tab.astype(jnp.float32),
       alpha_tab.astype(jnp.float32), thr, qp, vthr, vqp)
 
     post = post_blk.transpose(1, 0, 2).reshape(Bsz, n)
     bits = (post < 0).astype(jnp.int32)
-    bits_blocks = bits.T.reshape(qc.nb, L, Bsz)
-    ok = jnp.ones((Bsz,), bool)
-    for i in range(qc.mb):
-        par = jnp.zeros((L, Bsz), jnp.int32)
-        for b in qc.row_blocks[i]:
-            par = par ^ jnp.roll(bits_blocks[int(qc.block_col[b])],
-                                 -int(qc.block_shift[b]), axis=0)
-        ok = ok & ~jnp.any(par > 0, axis=0)
+    ok = ~jnp.any(fail[0] > 0, axis=-1)  # in-kernel syndrome
     return DecodeResult(
         bits=bits, posterior=post,
         iterations=jnp.full((Bsz,), T, jnp.int32),
