@@ -31,7 +31,7 @@ VQP = ((4.0, 1.0), (8.0, 1.0), (12.0, 1.0))
 
 
 def run(epochs: int = 24, frames: int = 65536, lift: int = 256,
-        base_shape: tuple = (5, 37),
+        base_shape: tuple = (5, 37), schedules: tuple = (5, 4),
         out_path: str = "experiments/train_layered_short_results.json",
         verbose: bool = True):
     from ldpc_tpu.utils.cache import enable_compilation_cache
@@ -70,7 +70,7 @@ def run(epochs: int = 24, frames: int = 65536, lift: int = 256,
 
     # -- train at each short schedule --------------------------------------
     candidates = {}
-    for T in (5, 4):
+    for T in schedules:
         dec = mk(T, "orcq", opts=fused)
         tr = PosteriorJointTrainer(
             dec, TrainingConfig(batch_size=128, num_epochs=epochs,
@@ -129,8 +129,10 @@ def run(epochs: int = 24, frames: int = 65536, lift: int = 256,
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=24)
+    ap.add_argument("--schedules", type=int, nargs="+", default=[5, 4])
     ap.add_argument("--frames", type=int, default=65536)
     ap.add_argument("--out",
                     default="experiments/train_layered_short_results.json")
     args = ap.parse_args()
-    run(args.epochs, args.frames, out_path=args.out)
+    run(args.epochs, args.frames, schedules=tuple(args.schedules),
+        out_path=args.out)
