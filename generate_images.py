@@ -86,3 +86,58 @@ if __name__ == "__main__":
     args = ap.parse_args()
     for p in generate_all_images(args.out, args.frames):
         print(p)
+
+
+def generate_deep_fer_figure(out_dir: str = "images",
+                             verbose: bool = True) -> str:
+    """Render the round-2 deep-FER campaign (measured curves down to FER
+    ~2e-8; experiments/deep_fer_results.json + deep_fer_trained_l6) —
+    the paper's §VII-B no-error-floor evidence regime."""
+    import json
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(out_dir, exist_ok=True)
+    curves = {}
+    with open("experiments/deep_fer_results.json") as f:
+        for name, c in json.load(f)["curves"].items():
+            curves[name] = c
+    try:
+        with open("experiments/deep_fer_trained_l6_results.json") as f:
+            curves["W-OMS-RCQ-bc3-trained-L6"] = json.load(f)["curve"]
+    except FileNotFoundError:
+        pass
+
+    style = {
+        "float-MS-L6": ("float min-sum, layered T=6", "k", "o"),
+        "RCQ-bc3-L6": ("RCQ bc=3/bv=8, layered T=6", "C0", "s"),
+        "RCQ-bc4-L6": ("RCQ bc=4/bv=8, layered T=6", "C1", "^"),
+        "W-OMS-RCQ-bc3-trained": ("trained W-OMS-RCQ bc=3, flooding T=10",
+                                  "C2", "v"),
+        "W-OMS-RCQ-bc3-trained-L6": ("trained W-OMS-RCQ bc=3, layered T=6",
+                                     "C3", "D"),
+    }
+    fig, ax = plt.subplots(figsize=(7.2, 5.2))
+    for name, c in curves.items():
+        label, color, marker = style.get(name, (name, None, "o"))
+        snr = c["snr_values"][: len(c["frame_error_rates"])]
+        fer = c["frame_error_rates"]
+        pts = [(s, f) for s, f in zip(snr, fer) if f > 0]
+        if not pts:
+            continue
+        ax.semilogy(*zip(*pts), marker=marker, color=color, label=label)
+    ax.set_xlabel("SNR (dB)")
+    ax.set_ylabel("FER")
+    ax.set_title("Deep-FER, (9472, 8192) QC code — 50M frames/point,\n"
+                 "fused layered kernel + two-checkpoint compaction (1 chip)")
+    ax.grid(True, which="both", alpha=0.3)
+    ax.legend(fontsize=8)
+    path = os.path.join(out_dir, "deep_fer.png")
+    fig.tight_layout()
+    fig.savefig(path, dpi=130)
+    plt.close(fig)
+    if verbose:
+        print(f"wrote {path}")
+    return path
