@@ -10,9 +10,12 @@ affordable:
 - LAYERED fused decoding at T=6 (measured strictly better FER than
   10-iteration flooding at the operating points, docs/RESULTS.md) with
   the selected 2-4-6@1.3 quantizer ladder;
-- two-checkpoint fused compaction ({T1=2, T} syndrome schedule): stage 1
-  decodes everyone for 2 layered iterations in the whole-decode kernel,
-  survivors (a few percent at these SNRs) re-decode at full depth;
+- two-checkpoint fused compaction ({T1, T} syndrome schedule): stage 1
+  decodes everyone for T1 layered iterations in the whole-decode kernel,
+  survivors re-decode at full depth. T1=3 (measured survivor fractions:
+  38% at 6.4 dB, 4.7% at 6.6 dB for T1=3; T1=2 leaves >90% unconverged
+  and constantly overflows into the exact two-pass fallback — correct
+  but slower);
 - uniform (gamma=1) bv=8 internal quantizer (the TPU-preferred form;
   +0.001 dB vs the power-law ladder, accuracy_bc3 results);
 - resumable per-SNR checkpoints (JSON; rerun the script to continue).
@@ -96,7 +99,7 @@ def run(frames: int = 5 * 10 ** 7, errors: int = 100, lift: int = 256,
 
     os.makedirs("experiments/deep_fer_ck", exist_ok=True)
     results = {}
-    for t1, zoo in ((2, zoo6), (5, zoo10)):
+    for t1, zoo in ((3, zoo6), (5, zoo10)):
         sim = LDPCSimulator(cfg(t1))
         for name, dec in zoo.items():
             ck = f"experiments/deep_fer_ck/{name}.json"

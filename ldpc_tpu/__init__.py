@@ -43,6 +43,7 @@ from ldpc_tpu.decode import (
     basic_min_sum,
     decode_batch,
     make_decoder,
+    make_two_checkpoint_decoder,
     neural_2d_min_sum,
     neural_2d_offset_min_sum,
     neural_min_sum,
