@@ -1,0 +1,146 @@
+"""Paper §VII-C at depth: 4-bit rate-specific W-NMS-RCQ vs 6-bit OMS on
+the QC PBRL (3096, 1032) code, measured into the deep-FER regime.
+
+The paper's §VII-C claim: on the k=1032 PBRL family, 4-bit rate-specific
+W-NMS-RCQ beats a 6-bit OMS baseline by 0.10-0.15 dB at FER 1e-6. Round
+1 checked the waterfall only (flat PBRL codes, XLA engine,
+``rate_specific.py``); the round-2 machinery — QC-lifted PBRL protograph
+(``create_pbrl_qc_protograph``), fused layered whole-decode kernel,
+two-checkpoint compaction — makes the 1e-6 regime affordable on one
+chip at n=3096.
+
+Decoders (both layered T=10, fused kernel):
+- **OMS-6bit**: offset min-sum, fixed beta=0.5 (the classic hardware
+  baseline), uniform 6-bit internal quantizer;
+- **W-NMS-RCQ(4,8)**: ``wrcq`` kind (beta-multiply + qdq, the paper's
+  W-NMS-RCQ), bc=4, bv=8 uniform, sharing type 2, trained on THIS code
+  at its operating range (rate-specific weights, §VII-C protocol).
+
+    python experiments/rate_specific_deep.py [--frames 20000000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+QP4 = ((2.0, 1.3), (4.0, 1.3), (6.0, 1.3))
+VQP8 = ((4.0, 1.0), (8.0, 1.0), (12.0, 1.0))
+# 6-bit uniform internal ladder: same dynamic range, 2^5 magnitude levels
+VQP6 = ((4.0, 1.0), (8.0, 1.0), (12.0, 1.0))
+
+
+def run(frames: int = 2 * 10 ** 7, errors: int = 100, epochs: int = 24,
+        snr_lo: float = 2.6, snr_hi: float = 4.0, snr_step: float = 0.2,
+        out_path: str = "experiments/rate_specific_deep_results.json",
+        verbose: bool = True):
+    from ldpc_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    import logging
+    logging.basicConfig(level=logging.INFO, force=True)
+
+    import jax
+    import jax.numpy as jnp
+
+    import ldpc_tpu
+    from ldpc_tpu.decode.qc_engine import build_qc_graph
+    from ldpc_tpu.sim import LDPCSimulator, SimulationConfig
+    from ldpc_tpu.train import PosteriorJointTrainer, TrainingConfig
+    from ldpc_tpu.utils.checkpoint import save_checkpoint
+
+    base, lift = ldpc_tpu.create_pbrl_qc_protograph(k=1032, rate=1 / 3)
+    qc = build_qc_graph(base, lift)
+    T = 10
+    code = ldpc_tpu.create_qc_code(base, lift=lift, max_iterations=T)
+    fused = dict(fused=True, batch_tile=None, dtype=jnp.bfloat16)
+    if jax.default_backend() == "cpu":
+        fused = dict(fused, interpret=True, dtype=jnp.float32)
+
+    # fixed-offset OMS baseline: degree-shared weight tables exist (the QC
+    # path needs sharing types 1-4) but are pinned to the classic constants
+    # beta=0.5, alpha_cn=0 — an untrained 6-bit OMS
+    oms = ldpc_tpu.make_decoder(
+        code, kind="oms", sharing_type=2, bv=6, v2c_quantizer_params=VQP6,
+        max_iterations=T, qc=qc, layered=True, qc_options=fused)
+    oms.weights = {
+        "beta": jnp.full_like(oms.weights["beta"], 0.5),
+        "alpha": jnp.zeros_like(oms.weights["alpha"]),
+    }
+
+    wrcq = ldpc_tpu.make_decoder(
+        code, kind="wrcq", bc=4, bv=8, sharing_type=2,
+        quantizer_params=QP4, v2c_quantizer_params=VQP8,
+        max_iterations=T, qc=qc, layered=True, qc_options=fused)
+    tr = PosteriorJointTrainer(
+        wrcq, TrainingConfig(batch_size=128, num_epochs=epochs,
+                             learning_rate=2e-3, snr_range=(2.0, 4.0),
+                             early_stop_accuracy=2.0, seed=0))
+    hist = tr.train(num_samples=2048, verbose=verbose)
+    save_checkpoint("experiments/wnmsrcq_pbrl_qc_ck",
+                    {k: v for k, v in wrcq.weights.items()
+                     if v is not None})
+
+    cfg = SimulationConfig(
+        snr_range=(snr_lo, snr_hi), snr_step=snr_step,
+        max_frames=frames, max_errors=errors,
+        min_frames=min(32768 * 2, frames), wave_size=32768,
+        early_exit_iters=3, survivor_budget=4096,
+        stage1_batch_tile=64, save_results=False)
+    sim = LDPCSimulator(cfg)
+    os.makedirs("experiments/rsd_ck", exist_ok=True)
+    curves = {}
+    for name, dec in (("OMS-6bit", oms), ("W-NMS-RCQ-4bit-trained", wrcq)):
+        curves[name] = sim.simulate_decoder(
+            dec, name, verbose=verbose,
+            checkpoint=f"experiments/rsd_ck/{name}.json")
+
+    # horizontal gap at the deepest FER both curves reach
+    report = {
+        "code": f"QC PBRL ({code.n}, {code.k}), lift {lift}, layered T=10",
+        "final_train_loss": float(hist["training_losses"][-1]),
+        "curves": {k: r.to_dict() for k, r in curves.items()},
+    }
+
+    def snr_at(curve, fer_target):
+        snr = np.asarray(curve.snr_values, float)
+        fer = np.asarray(curve.frame_error_rates, float)
+        ok = fer > 0
+        snr, fer = snr[ok], fer[ok]
+        if len(fer) < 2 or fer.min() > fer_target or fer.max() < fer_target:
+            return None
+        lf = np.log10(fer)
+        i = int(np.searchsorted(-lf, -np.log10(fer_target)))
+        i = max(1, min(i, len(fer) - 1))
+        t = (np.log10(fer_target) - lf[i - 1]) / (lf[i] - lf[i - 1])
+        return float(snr[i - 1] + t * (snr[i] - snr[i - 1]))
+
+    for target in (1e-4, 1e-5, 1e-6):
+        a = snr_at(curves["OMS-6bit"], target)
+        b = snr_at(curves["W-NMS-RCQ-4bit-trained"], target)
+        gain = None if a is None or b is None else round(a - b, 4)
+        report.setdefault("gain_db", {})[f"{target:g}"] = gain
+        if verbose:
+            print(f"FER {target:g}: OMS-6bit @ {a} dB, W-NMS-RCQ-4bit @ "
+                  f"{b} dB, gain {gain} dB", flush=True)
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=2)
+    print(f"results -> {out_path}", flush=True)
+    return report
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=2 * 10 ** 7)
+    ap.add_argument("--errors", type=int, default=100)
+    ap.add_argument("--epochs", type=int, default=24)
+    ap.add_argument("--out",
+                    default="experiments/rate_specific_deep_results.json")
+    args = ap.parse_args()
+    run(frames=args.frames, errors=args.errors, epochs=args.epochs,
+        out_path=args.out)
