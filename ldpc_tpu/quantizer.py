@@ -265,12 +265,22 @@ class NonUniformQuantizer:
 
 
 def phase_schedule(max_iterations: int, num_quantizers: int) -> np.ndarray:
-    """Per-iteration quantizer index, matching the reference's thirds rule
-    (``rcq_decoder.py:156-167``): one quantizer -> always 0; otherwise
-    iteration < T//3 -> 0, < 2T//3 -> 1, else last."""
+    """Per-iteration quantizer index.
+
+    For up to 3 quantizers this matches the reference's thirds rule
+    exactly (``rcq_decoder.py:156-167``): one quantizer -> always 0;
+    otherwise iteration < T//3 -> 0, < 2T//3 -> 1, else last. More than
+    3 quantizers (the paper's §VI design rule is "if an error floor
+    appears above the target FER, ADD a quantizer" — the reference never
+    implements Q > 3) spread evenly over the iterations; Q == T gives a
+    fully per-iteration schedule."""
     T = max_iterations
     sched = np.zeros(T, dtype=np.int32)
     if num_quantizers <= 1:
+        return sched
+    if num_quantizers > 3:
+        for t in range(T):
+            sched[t] = min(t * num_quantizers // T, num_quantizers - 1)
         return sched
     for t in range(T):
         if t < T // 3:

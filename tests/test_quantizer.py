@@ -209,3 +209,18 @@ def test_engine_routes_gamma1_to_uniform(test_code):
                              max_iterations=10)
     ref = b(llr)
     np.testing.assert_array_equal(np.asarray(out.bits), np.asarray(ref.bits))
+
+
+def test_phase_schedule_many_quantizers():
+    """Q <= 3 keeps the reference's thirds rule bit-for-bit; Q > 3 (the
+    paper's SSVI 'add a quantizer' extension) spreads evenly, Q == T is
+    fully per-iteration."""
+    from ldpc_tpu.quantizer import phase_schedule
+
+    np.testing.assert_array_equal(phase_schedule(10, 3),
+                                  [0, 0, 0, 1, 1, 1, 2, 2, 2, 2])
+    np.testing.assert_array_equal(phase_schedule(10, 10), np.arange(10))
+    s5 = phase_schedule(10, 5)
+    assert s5[0] == 0 and s5[-1] == 4
+    assert (np.diff(s5) >= 0).all()          # monotone
+    assert len(np.unique(s5)) == 5           # every quantizer used
