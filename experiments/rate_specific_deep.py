@@ -30,7 +30,11 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-QP4 = ((2.0, 1.3), (4.0, 1.3), (6.0, 1.3))
+# selected by the on-code ladder sweep (paper SSVI design rule, run at
+# 3.2 dB over 9 candidates): 6-11-16@1.3 measures FER 4.1e-4 vs 2.25e-1
+# for the bench code's 2-4-6@1.3 — this irregular rate-1/3 code wants a
+# ~3x wider dynamic range than the high-rate 9472 code
+QP4 = ((6.0, 1.3), (11.0, 1.3), (16.0, 1.3))
 VQP8 = ((4.0, 1.0), (8.0, 1.0), (12.0, 1.0))
 # 6-bit uniform internal ladder: same dynamic range, 2^5 magnitude levels
 VQP6 = ((4.0, 1.0), (8.0, 1.0), (12.0, 1.0))
@@ -76,15 +80,27 @@ def run(frames: int = 2 * 10 ** 7, errors: int = 100, epochs: int = 24,
     wrcq = ldpc_tpu.make_decoder(
         code, kind="wrcq", bc=4, bv=8, sharing_type=2,
         quantizer_params=QP4, v2c_quantizer_params=VQP8,
+        max_iterations=T, qc=qc, layered=True, qc_options=fused,
+        init="nms")
+    worcq = ldpc_tpu.make_decoder(
+        code, kind="orcq", bc=4, bv=8, sharing_type=2,
+        quantizer_params=QP4, v2c_quantizer_params=VQP8,
         max_iterations=T, qc=qc, layered=True, qc_options=fused)
-    tr = PosteriorJointTrainer(
-        wrcq, TrainingConfig(batch_size=128, num_epochs=epochs,
-                             learning_rate=2e-3, snr_range=(2.0, 4.0),
-                             early_stop_accuracy=2.0, seed=0))
-    hist = tr.train(num_samples=2048, verbose=verbose)
-    save_checkpoint("experiments/wnmsrcq_pbrl_qc_ck",
-                    {k: v for k, v in wrcq.weights.items()
-                     if v is not None})
+    # start the offset form at the classic OMS constants (beta=0.5,
+    # alpha_cn=0) — the basin the strong untrained baseline occupies
+    worcq.weights = {"beta": jnp.full_like(worcq.weights["beta"], 0.5),
+                     "alpha": jnp.zeros_like(worcq.weights["alpha"])}
+    hists = {}
+    for tag, cand in (("wnms", wrcq), ("worcq", worcq)):
+        tr = PosteriorJointTrainer(
+            cand, TrainingConfig(batch_size=128, num_epochs=epochs,
+                                 learning_rate=1e-3, snr_range=(2.8, 3.8),
+                                 early_stop_accuracy=2.0, seed=0))
+        hists[tag] = tr.train(num_samples=2048, verbose=verbose)
+        save_checkpoint(f"experiments/{tag}rcq_pbrl_qc_ck",
+                        {k: v for k, v in cand.weights.items()
+                         if v is not None})
+    hist = hists["wnms"]
 
     cfg = SimulationConfig(
         snr_range=(snr_lo, snr_hi), snr_step=snr_step,
@@ -95,7 +111,8 @@ def run(frames: int = 2 * 10 ** 7, errors: int = 100, epochs: int = 24,
     sim = LDPCSimulator(cfg)
     os.makedirs("experiments/rsd_ck", exist_ok=True)
     curves = {}
-    for name, dec in (("OMS-6bit", oms), ("W-NMS-RCQ-4bit-trained", wrcq)):
+    for name, dec in (("OMS-6bit", oms), ("W-NMS-RCQ-4bit-trained", wrcq),
+                      ("W-OMS-RCQ-4bit-trained", worcq)):
         curves[name] = sim.simulate_decoder(
             dec, name, verbose=verbose,
             checkpoint=f"experiments/rsd_ck/{name}.json")
@@ -120,14 +137,16 @@ def run(frames: int = 2 * 10 ** 7, errors: int = 100, epochs: int = 24,
         t = (np.log10(fer_target) - lf[i - 1]) / (lf[i] - lf[i - 1])
         return float(snr[i - 1] + t * (snr[i] - snr[i - 1]))
 
-    for target in (1e-4, 1e-5, 1e-6):
-        a = snr_at(curves["OMS-6bit"], target)
-        b = snr_at(curves["W-NMS-RCQ-4bit-trained"], target)
-        gain = None if a is None or b is None else round(a - b, 4)
-        report.setdefault("gain_db", {})[f"{target:g}"] = gain
-        if verbose:
-            print(f"FER {target:g}: OMS-6bit @ {a} dB, W-NMS-RCQ-4bit @ "
-                  f"{b} dB, gain {gain} dB", flush=True)
+    for cand in ("W-NMS-RCQ-4bit-trained", "W-OMS-RCQ-4bit-trained"):
+        for target in (1e-4, 1e-5, 1e-6):
+            a = snr_at(curves["OMS-6bit"], target)
+            b = snr_at(curves[cand], target)
+            gain = None if a is None or b is None else round(a - b, 4)
+            report.setdefault("gain_db", {}).setdefault(
+                cand, {})[f"{target:g}"] = gain
+            if verbose:
+                print(f"FER {target:g}: OMS-6bit @ {a} dB, {cand} @ "
+                      f"{b} dB, gain {gain} dB", flush=True)
     with open(out_path, "w") as f:
         json.dump(report, f, indent=2)
     print(f"results -> {out_path}", flush=True)
