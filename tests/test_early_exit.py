@@ -86,3 +86,39 @@ def test_two_checkpoint_validation():
         make_two_checkpoint_decoder(dec, t1=5, survivor_budget=8)
     with pytest.raises(ValueError):
         make_two_checkpoint_decoder(dec, t1=2, survivor_budget=0)
+
+
+def test_two_checkpoint_layered_fused_bench_path():
+    """The bench configuration's exact shape: layered fused kernel under
+    the {t1, T} wrapper (interpret mode), vs the explicit comparator."""
+    T, t1 = 6, 3
+    rng = np.random.default_rng(4)
+    lift = 16
+    base = rng.integers(0, lift, size=(2, 6))
+    code = ldpc_tpu.create_qc_code(base, lift=lift, max_iterations=T)
+    qc = build_qc_graph(base, lift)
+    dec = ldpc_tpu.make_decoder(
+        code, kind="rcq", bc=3, bv=8, max_iterations=T, qc=qc,
+        layered=True,
+        quantizer_params=((2.0, 1.3), (4.0, 1.3), (6.0, 1.3)),
+        v2c_quantizer_params=((4.0, 1.0), (8.0, 1.0), (12.0, 1.0)),
+        qc_options={"fused": True, "batch_tile": 16, "interpret": True,
+                    "dtype": jnp.float32})
+    B = 48
+    llr = awgn_llr(jax.random.PRNGKey(2), jnp.zeros((B, code.n)), 5.0)
+    fn = make_two_checkpoint_decoder(dec, t1=t1, survivor_budget=24)
+    out, n_surv = fn(llr)
+    assert 0 < int(n_surv) <= 24  # mixed population, within budget
+
+    opts = dict(dec.qc_options)
+    short = dataclasses.replace(dec, qc_options=None).truncated(t1)
+    short = dataclasses.replace(short, qc_options=opts)
+    o1, o2 = short(llr), dec(llr)
+    conv = np.asarray(o1.success)
+    exp_post = np.where(conv[:, None], np.asarray(o1.posterior),
+                        np.asarray(o2.posterior))
+    np.testing.assert_allclose(np.asarray(out.posterior), exp_post,
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(out.success),
+                                  np.where(conv, True,
+                                           np.asarray(o2.success)))
