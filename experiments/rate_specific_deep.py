@@ -9,12 +9,21 @@ W-NMS-RCQ beats a 6-bit OMS baseline by 0.10-0.15 dB at FER 1e-6. Round
 two-checkpoint compaction — makes the 1e-6 regime affordable on one
 chip at n=3096.
 
-Decoders (both layered T=10, fused kernel):
+Decoders (all layered T=10, fused kernel):
 - **OMS-6bit**: offset min-sum, fixed beta=0.5 (the classic hardware
-  baseline), uniform 6-bit internal quantizer;
+  baseline), uniform 6-bit internal quantizer, UNquantized C2V;
 - **W-NMS-RCQ(4,8)**: ``wrcq`` kind (beta-multiply + qdq, the paper's
   W-NMS-RCQ), bc=4, bv=8 uniform, sharing type 2, trained on THIS code
-  at its operating range (rate-specific weights, §VII-C protocol).
+  at its operating range (rate-specific weights, §VII-C protocol);
+- **W-OMS-RCQ(4,8)**: the offset form, trained from the OMS constants.
+
+MEASURED OUTCOME (docs/RESULTS.md §16): on this code — which transmits
+its degree-1 IR bits — every bc=4 variant's deep slope flattens below
+FER ~1e-4 while the unquantized-C2V OMS reaches 1e-6; on-code ladder
+selection is worth ~500x at the waterfall, multi-phase schedules 2.7x
+at 4.0 dB. The experiment validates the §VI design-rule machinery
+rather than reproducing the paper's exact §VII-C number (whose PBRL
+matrix and training schedule are unpublished).
 
     python experiments/rate_specific_deep.py [--frames 20000000]
 """
