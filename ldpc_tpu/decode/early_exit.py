@@ -100,11 +100,19 @@ def make_two_checkpoint_decoder(decoder, *, t1: int, survivor_budget: int):
              ).astype(mm_dtype or llr.dtype)
         out2 = full(P @ llr.astype(mm_dtype or llr.dtype), w)
 
-        scat_post = (P.T @ out2.posterior.astype(P.dtype)
-                     ).astype(out1.posterior.dtype)
         scat_succ = (P.T @ out2.success.astype(P.dtype)) > 0.5
-        post = jnp.where(inbud[:, None], scat_post, out1.posterior)
-        bits = (post < 0).astype(jnp.int32)
+        if out1.posterior is None:
+            # lean fused epilogue: no [B, n] posterior exists on either
+            # stage — merge the int8 bits directly (same scatter algebra)
+            scat_bits = (P.T @ out2.bits.astype(P.dtype)) > 0.5
+            bits = jnp.where(inbud[:, None], scat_bits,
+                             out1.bits.astype(bool)).astype(jnp.int8)
+            post = None
+        else:
+            scat_post = (P.T @ out2.posterior.astype(P.dtype)
+                         ).astype(out1.posterior.dtype)
+            post = jnp.where(inbud[:, None], scat_post, out1.posterior)
+            bits = (post < 0).astype(jnp.int32)
         success = jnp.where(inbud, scat_succ, conv)
         iterations = jnp.where(conv, out1.iterations,
                                jnp.where(inbud,

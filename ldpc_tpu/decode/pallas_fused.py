@@ -132,8 +132,29 @@ def _kernel_qdq(x, t, thr_ref, qp_ref, levels: int, mode: str):
     return jnp.where(x < 0, -snapped, snapped)
 
 
+def _accessors(natural: bool, L: int):
+    """Read/write helpers over the llr/posterior refs for the two block
+    layouts. Block layout indexes a [nb, bt, L] ref by base column;
+    natural layout slices a [bt, n] ref at lane offset j*L (requires
+    L % 128 == 0 so every slice is lane-tile-aligned — the case for the
+    paper's lift-256 family; lift-360 codes stay on block layout)."""
+    if natural:
+        def rd(ref, j):
+            return ref[:, j * L:(j + 1) * L]
+
+        def wr(ref, j, v):
+            ref[:, j * L:(j + 1) * L] = v
+    else:
+        def rd(ref, j):
+            return ref[j]
+
+        def wr(ref, j, v):
+            ref[j] = v
+    return rd, wr
+
+
 def _syndrome_epilogue(post_ref, fail_ref, PAR, qc: QCGraph, bt: int, L,
-                       dtype):
+                       dtype, rd):
     """In-kernel syndrome: parity of each base row as a product of
     check-aligned posterior signs, on VMEM-resident tiles (replaces the
     former XLA epilogue's HBM-resident jnp.roll XORs — ~38% of decode
@@ -150,7 +171,7 @@ def _syndrome_epilogue(post_ref, fail_ref, PAR, qc: QCGraph, bt: int, L,
     for blocks in qc.row_blocks:
         for k, b in enumerate(blocks):
             b = int(b)
-            s = 1.0 - 2.0 * (post_ref[cols[b]][...].astype(jnp.float32)
+            s = 1.0 - 2.0 * (rd(post_ref, cols[b]).astype(jnp.float32)
                              < 0).astype(jnp.float32)
             s = _roll_lanes(s, -shifts[b])
             PAR[...] = s if k == 0 else PAR[...] * s
@@ -159,7 +180,8 @@ def _syndrome_epilogue(post_ref, fail_ref, PAR, qc: QCGraph, bt: int, L,
             (PAR[...] < 0).astype(jnp.float32).astype(dtype))
 
 
-def _make_kernel(qc: QCGraph, spec: VariantSpec, T: int, bt: int, dtype):
+def _make_kernel(qc: QCGraph, spec: VariantSpec, T: int, bt: int, dtype,
+                 natural: bool = False):
     NB = qc.num_blocks
     L = qc.lift
     shifts = [int(s) for s in qc.block_shift]
@@ -167,6 +189,7 @@ def _make_kernel(qc: QCGraph, spec: VariantSpec, T: int, bt: int, dtype):
     row_blocks = [list(r) for r in qc.row_blocks]
     col_blocks = [list(c) for c in qc.col_blocks]
     INF = float("inf")
+    rd, wr = _accessors(natural, L)
 
     q_mode = _qdq_mode(spec.qparams, spec.q_levels)
     with_vqdq = (spec.v2c_qparams is not None or
@@ -177,7 +200,7 @@ def _make_kernel(qc: QCGraph, spec: VariantSpec, T: int, bt: int, dtype):
                vqp_ref, post_ref, fail_ref, S, PAR):
         # init: check-aligned v2c = rolled channel LLRs (SURVEY §2b step 2)
         for b in range(NB):
-            S[b] = _roll_lanes(llr_ref[cols[b]], -shifts[b])
+            S[b] = _roll_lanes(rd(llr_ref, cols[b]), -shifts[b])
 
         def body(t, carry):
             # ---- check-node update, row by row, in place ----
@@ -239,7 +262,7 @@ def _make_kernel(qc: QCGraph, spec: VariantSpec, T: int, bt: int, dtype):
                 colsum = ca[0]
                 for k in range(1, len(blocks)):
                     colsum = colsum + ca[k]
-                llr_j = llr_ref[j][...]
+                llr_j = rd(llr_ref, j)
                 for k, b in enumerate(blocks):
                     ext = colsum - ca[k]
                     if spec.alpha_in_cn:
@@ -260,17 +283,46 @@ def _make_kernel(qc: QCGraph, spec: VariantSpec, T: int, bt: int, dtype):
                     if with_vqdq:
                         post = _kernel_qdq(post, t, vthr_ref, vqp_ref,
                                            spec.v2c_levels, v_mode)
-                    post_ref[j] = post.astype(dtype)
+                    wr(post_ref, j, post.astype(dtype))
             return carry
 
         jax.lax.fori_loop(0, T, body, 0)
-        _syndrome_epilogue(post_ref, fail_ref, PAR, qc, bt, L, dtype)
+        _syndrome_epilogue(post_ref, fail_ref, PAR, qc, bt, L, dtype, rd)
 
     return kernel
 
 
+def _result_epilogue(post_out, fail, Bsz, n, T, lean, natural):
+    """Shared XLA epilogue over the kernel's posterior/fail outputs.
+
+    ``natural=True`` means the kernel already wrote the posterior in
+    [B, n] layout (lane-aligned lifts take this path) — no XLA transpose
+    at all; otherwise ``post_out`` is the [nb, B, L] block layout and is
+    transposed here. ``lean=False``: the full :class:`DecodeResult`
+    contract — [B, n] posterior (bf16) and int32 bits. ``lean=True``: the
+    decode-rate path — bits only, as int8 straight off the sign compare,
+    ``posterior=None``. At B=8192 on the bench code the full epilogue
+    writes ~465 MB of HBM (posterior + int32 bits) against the lean
+    path's ~78 MB; the simulator and the headline bench only ever consume
+    bits/success/iterations."""
+    ok = ~jnp.any(fail[0] > 0, axis=-1)  # in-kernel syndrome
+    iters = jnp.full((Bsz,), T, jnp.int32)
+    if natural:
+        post = post_out                                   # already [B, n]
+    else:
+        post = post_out.transpose(1, 0, 2).reshape(Bsz, n)
+    if lean:
+        bits = (post < 0).astype(jnp.int8)
+        return DecodeResult(bits=bits, posterior=None,
+                            iterations=iters, success=ok)
+    bits = (post < 0).astype(jnp.int32)
+    return DecodeResult(bits=bits, posterior=post, iterations=iters,
+                        success=ok)
+
+
 @partial(jax.jit, static_argnames=("qc", "spec", "max_iterations", "dtype",
-                                   "batch_tile", "interpret"))
+                                   "batch_tile", "interpret", "lean",
+                                   "natural"))
 def qc_fused_decode_batch(
     llr: jnp.ndarray,            # [B, n]
     weights,                     # {'beta': [T, n_beta], 'alpha': [T, n_alpha]}
@@ -281,6 +333,8 @@ def qc_fused_decode_batch(
     dtype=jnp.bfloat16,
     batch_tile: int | None = 64,
     interpret: bool = False,
+    lean: bool = False,
+    natural: bool | None = None,
 ) -> DecodeResult:
     """Flooding QC decode in ONE whole-decode Pallas kernel.
 
@@ -288,7 +342,10 @@ def qc_fused_decode_batch(
     bits/posterior from the final iteration, ``success`` = final syndrome,
     ``iterations`` = T for every frame. ``batch_tile`` codewords are
     decoded per grid step with the full message state VMEM-resident; B
-    must be divisible by it.
+    must be divisible by it. ``lean=True`` skips the [B, n] posterior
+    materialization and returns int8 bits (see ``_result_epilogue``).
+    ``natural`` (auto when ``lift % 128 == 0``) streams llr/posterior in
+    their [B, n] layout — no XLA-side layout transposes at either end.
     """
     T = max_iterations
     Bsz, n = llr.shape
@@ -308,8 +365,15 @@ def qc_fused_decode_batch(
             f"batch_tile<={max_batch_tile(qc, layered=False, dtype=dtype)} "
             f"(or batch_tile=None to auto-pick)")
 
-    # [nb, B, L]: per-base-column tiles, batch on sublanes, lift on lanes
-    llr_blk = llr.astype(dtype).reshape(Bsz, qc.nb, L).transpose(1, 0, 2)
+    if natural is None:
+        natural = L % 128 == 0
+    if natural and L % 128:
+        raise ValueError(f"natural layout needs lift % 128 == 0, got {L}")
+    if natural:
+        llr_in = llr.astype(dtype)          # [B, n], no layout change
+    else:
+        # [nb, B, L]: per-base-column tiles, batch on sublanes, lift lanes
+        llr_in = llr.astype(dtype).reshape(Bsz, qc.nb, L).transpose(1, 0, 2)
 
     # per-(iteration, block) weight tables for SMEM scalar reads
     if spec.beta_idx is not None:
@@ -330,46 +394,46 @@ def qc_fused_decode_batch(
     vthr = tab(spec.v2c_thresholds, 1)
     vqp = tab(spec.v2c_qparams, 2)
 
-    kernel = _make_kernel(qc, spec, T, bt, dtype)
+    kernel = _make_kernel(qc, spec, T, bt, dtype, natural)
     grid = (Bsz // bt,)
-    blk = pl.BlockSpec((qc.nb, bt, L), lambda i: (0, i, 0),
-                       memory_space=pltpu.VMEM)
+    if natural:
+        blk = pl.BlockSpec((bt, n), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+        post_shape = jax.ShapeDtypeStruct((Bsz, n), dtype)
+    else:
+        blk = pl.BlockSpec((qc.nb, bt, L), lambda i: (0, i, 0),
+                           memory_space=pltpu.VMEM)
+        post_shape = jax.ShapeDtypeStruct((qc.nb, Bsz, L), dtype)
     fail_blk = pl.BlockSpec((1, bt, L), lambda i: (0, i, 0),
                             memory_space=pltpu.VMEM)
     smem = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
                                   memory_space=pltpu.SMEM)
-    post_blk, fail = pl.pallas_call(
+    post_out, fail = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[blk, smem(beta_tab), smem(alpha_tab), smem(thr),
                   smem(qp), smem(vthr), smem(vqp)],
         out_specs=[blk, fail_blk],
-        out_shape=[jax.ShapeDtypeStruct((qc.nb, Bsz, L), dtype),
+        out_shape=[post_shape,
                    jax.ShapeDtypeStruct((1, Bsz, L), dtype)],
         scratch_shapes=[pltpu.VMEM((NB, bt, L), dtype),
                         pltpu.VMEM((bt, L), jnp.float32)],
         interpret=interpret,
-    )(llr_blk, beta_tab.astype(jnp.float32),
+    )(llr_in, beta_tab.astype(jnp.float32),
       alpha_tab.astype(jnp.float32), thr, qp, vthr, vqp)
 
-    post = post_blk.transpose(1, 0, 2).reshape(Bsz, n)  # [B, n]
-    bits = (post < 0).astype(jnp.int32)
-    ok = ~jnp.any(fail[0] > 0, axis=-1)  # in-kernel syndrome
-
-    return DecodeResult(
-        bits=bits, posterior=post,
-        iterations=jnp.full((Bsz,), T, jnp.int32),
-        success=ok)
+    return _result_epilogue(post_out, fail, Bsz, n, T, lean, natural)
 
 
 def _make_layered_kernel(qc: QCGraph, spec: VariantSpec, T: int, bt: int,
-                         dtype):
+                         dtype, natural: bool = False):
     NB = qc.num_blocks
     L = qc.lift
     shifts = [int(s) for s in qc.block_shift]
     cols = [int(c) for c in qc.block_col]
     row_blocks = [list(r) for r in qc.row_blocks]
     INF = float("inf")
+    rd, wr = _accessors(natural, L)
 
     q_mode = _qdq_mode(spec.qparams, spec.q_levels)
     with_vqdq = (spec.v2c_qparams is not None or
@@ -406,10 +470,10 @@ def _make_layered_kernel(qc: QCGraph, spec: VariantSpec, T: int, bt: int,
                     old = C[b][...]
                     ext = colsum[j][...] - old
                     if spec.alpha_in_cn:
-                        nv = llr_ref[j] + ext
+                        nv = rd(llr_ref, j) + ext
                     else:
                         ab = alpha_ref[t, b]
-                        nv = llr_ref[j] + ab * ext
+                        nv = rd(llr_ref, j) + ab * ext
                     xk = _roll_lanes(nv.astype(jnp.float32), -shifts[b])
                     colsum[j] = ext.astype(dtype)  # old c2v removed
                     negk = (xk < 0).astype(jnp.int32)
@@ -472,19 +536,20 @@ def _make_layered_kernel(qc: QCGraph, spec: VariantSpec, T: int, bt: int,
         # observed under the check-at-the-end contract, so only iteration
         # T's is materialized.
         for j in range(qc.nb):
-            post = llr_ref[j] + colsum[j][...]
+            post = rd(llr_ref, j) + colsum[j][...]
             if with_vqdq:
                 post = _kernel_qdq(post, T - 1, vthr_ref, vqp_ref,
                                    spec.v2c_levels, v_mode)
-            post_ref[j] = post.astype(dtype)
+            wr(post_ref, j, post.astype(dtype))
 
-        _syndrome_epilogue(post_ref, fail_ref, PAR, qc, bt, L, dtype)
+        _syndrome_epilogue(post_ref, fail_ref, PAR, qc, bt, L, dtype, rd)
 
     return kernel
 
 
 @partial(jax.jit, static_argnames=("qc", "spec", "max_iterations", "dtype",
-                                   "batch_tile", "interpret"))
+                                   "batch_tile", "interpret", "lean",
+                                   "natural"))
 def qc_fused_decode_batch_layered(
     llr: jnp.ndarray,            # [B, n]
     weights,
@@ -495,6 +560,8 @@ def qc_fused_decode_batch_layered(
     dtype=jnp.bfloat16,
     batch_tile: int | None = 64,
     interpret: bool = False,
+    lean: bool = False,
+    natural: bool | None = None,
 ) -> DecodeResult:
     """Layered-schedule whole-decode Pallas kernel.
 
@@ -525,7 +592,14 @@ def qc_fused_decode_batch_layered(
             f"batch_tile<={max_batch_tile(qc, layered=True, dtype=dtype)} "
             f"(or batch_tile=None to auto-pick)")
 
-    llr_blk = llr.astype(dtype).reshape(Bsz, qc.nb, L).transpose(1, 0, 2)
+    if natural is None:
+        natural = L % 128 == 0
+    if natural and L % 128:
+        raise ValueError(f"natural layout needs lift % 128 == 0, got {L}")
+    if natural:
+        llr_in = llr.astype(dtype)
+    else:
+        llr_in = llr.astype(dtype).reshape(Bsz, qc.nb, L).transpose(1, 0, 2)
 
     if spec.beta_idx is not None:
         beta_tab = weights["beta"][:, jnp.asarray(spec.beta_idx)]
@@ -543,32 +617,32 @@ def qc_fused_decode_batch_layered(
     thr, qp = tab(spec.thresholds, 1), tab(spec.qparams, 2)
     vthr, vqp = tab(spec.v2c_thresholds, 1), tab(spec.v2c_qparams, 2)
 
-    kernel = _make_layered_kernel(qc, spec, T, bt, dtype)
-    blk = pl.BlockSpec((qc.nb, bt, L), lambda i: (0, i, 0),
-                       memory_space=pltpu.VMEM)
+    kernel = _make_layered_kernel(qc, spec, T, bt, dtype, natural)
+    if natural:
+        blk = pl.BlockSpec((bt, n), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+        post_shape = jax.ShapeDtypeStruct((Bsz, n), dtype)
+    else:
+        blk = pl.BlockSpec((qc.nb, bt, L), lambda i: (0, i, 0),
+                           memory_space=pltpu.VMEM)
+        post_shape = jax.ShapeDtypeStruct((qc.nb, Bsz, L), dtype)
     fail_blk = pl.BlockSpec((1, bt, L), lambda i: (0, i, 0),
                             memory_space=pltpu.VMEM)
     smem = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
                                   memory_space=pltpu.SMEM)
-    post_blk, fail = pl.pallas_call(
+    post_out, fail = pl.pallas_call(
         kernel,
         grid=(Bsz // bt,),
         in_specs=[blk, smem(beta_tab), smem(alpha_tab), smem(thr),
                   smem(qp), smem(vthr), smem(vqp)],
         out_specs=[blk, fail_blk],
-        out_shape=[jax.ShapeDtypeStruct((qc.nb, Bsz, L), dtype),
+        out_shape=[post_shape,
                    jax.ShapeDtypeStruct((1, Bsz, L), dtype)],
         scratch_shapes=[pltpu.VMEM((NB, bt, L), dtype),
                         pltpu.VMEM((qc.nb, bt, L), dtype),
                         pltpu.VMEM((bt, L), jnp.float32)],
         interpret=interpret,
-    )(llr_blk, beta_tab.astype(jnp.float32),
+    )(llr_in, beta_tab.astype(jnp.float32),
       alpha_tab.astype(jnp.float32), thr, qp, vthr, vqp)
 
-    post = post_blk.transpose(1, 0, 2).reshape(Bsz, n)
-    bits = (post < 0).astype(jnp.int32)
-    ok = ~jnp.any(fail[0] > 0, axis=-1)  # in-kernel syndrome
-    return DecodeResult(
-        bits=bits, posterior=post,
-        iterations=jnp.full((Bsz,), T, jnp.int32),
-        success=ok)
+    return _result_epilogue(post_out, fail, Bsz, n, T, lean, natural)

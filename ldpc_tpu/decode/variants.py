@@ -179,6 +179,9 @@ class Decoder:
                     llr, w, qc=self.qc, spec=self.spec,
                     max_iterations=self.max_iterations, **opts)
             else:
+                # the lean contract (int8 bits, no posterior) is a fused-
+                # kernel epilogue option; the training/trajectory fallback
+                # always returns the full result
                 out = qc_decode_batch_layered(
                     llr, w, qc=self.qc, spec=self.spec,
                     max_iterations=self.max_iterations, ste=ste,
@@ -198,6 +201,8 @@ class Decoder:
                 opts.pop("dtype", None)
                 opts.pop("batch_tile", None)
                 opts.pop("interpret", None)
+                opts.pop("lean", None)
+                opts.pop("natural", None)
                 fused = False
             if fused:
                 # whole-decode VMEM-resident Pallas kernel; contract ==
@@ -214,6 +219,8 @@ class Decoder:
                     llr, w, qc=self.qc, spec=self.spec,
                     max_iterations=self.max_iterations, **opts)
             else:
+                opts.pop("lean", None)     # fused-kernel options only
+                opts.pop("natural", None)
                 out = qc_decode_batch(
                     llr, w, qc=self.qc, spec=self.spec,
                     max_iterations=self.max_iterations, ste=ste,
@@ -231,7 +238,9 @@ class Decoder:
                 return_trajectory=return_trajectory)
         if squeeze:
             out = DecodeResult(
-                bits=out.bits[0], posterior=out.posterior[0],
+                bits=out.bits[0],
+                posterior=(out.posterior[0]
+                           if out.posterior is not None else None),
                 iterations=out.iterations[0], success=out.success[0],
                 posteriors_all=(out.posteriors_all[:, 0]
                                 if out.posteriors_all is not None else None))

@@ -122,3 +122,38 @@ def test_two_checkpoint_layered_fused_bench_path():
     np.testing.assert_array_equal(np.asarray(out.success),
                                   np.where(conv, True,
                                            np.asarray(o2.success)))
+
+
+def test_two_checkpoint_lean():
+    """The lean bench path: both stages run the lean fused epilogue; the
+    merged bits/success/iterations match the full-output wrapper."""
+    T, t1 = 6, 3
+    rng = np.random.default_rng(4)
+    lift = 16
+    base = rng.integers(0, lift, size=(2, 6))
+    code = ldpc_tpu.create_qc_code(base, lift=lift, max_iterations=T)
+    qc = build_qc_graph(base, lift)
+
+    def build(lean):
+        return ldpc_tpu.make_decoder(
+            code, kind="rcq", bc=3, bv=8, max_iterations=T, qc=qc,
+            layered=True,
+            quantizer_params=((2.0, 1.3), (4.0, 1.3), (6.0, 1.3)),
+            v2c_quantizer_params=((4.0, 1.0), (8.0, 1.0), (12.0, 1.0)),
+            qc_options={"fused": True, "batch_tile": 16, "interpret": True,
+                        "dtype": jnp.float32, "lean": lean})
+
+    B = 48
+    llr = awgn_llr(jax.random.PRNGKey(2), jnp.zeros((B, code.n)), 5.0)
+    out_f, ns_f = make_two_checkpoint_decoder(build(False), t1=t1,
+                                              survivor_budget=24)(llr)
+    out_l, ns_l = make_two_checkpoint_decoder(build(True), t1=t1,
+                                              survivor_budget=24)(llr)
+    assert int(ns_f) == int(ns_l) and 0 < int(ns_l) <= 24
+    assert out_l.posterior is None and out_l.bits.dtype == jnp.int8
+    np.testing.assert_array_equal(np.asarray(out_l.bits),
+                                  np.asarray(out_f.bits))
+    np.testing.assert_array_equal(np.asarray(out_l.success),
+                                  np.asarray(out_f.success))
+    np.testing.assert_array_equal(np.asarray(out_l.iterations),
+                                  np.asarray(out_f.iterations))

@@ -216,3 +216,79 @@ def test_fused_auto_batch_tile_interpret():
                           max_iterations=T, check_every=T)
     np.testing.assert_array_equal(np.asarray(out.bits),
                                   np.asarray(ref.bits))
+
+
+def test_lean_epilogue_matches_full():
+    """lean=True returns the same hard outputs as the full epilogue —
+    bits as int8, posterior skipped — on both fused kernels."""
+    from ldpc_tpu.decode.pallas_fused import qc_fused_decode_batch_layered
+
+    T = 4
+    code, qc, dec = _setup(3, 8, 16, T, base_seed=2, density=0.8,
+                           kind="rcq", bc=3, bv=8)
+    llr = awgn_llr(jax.random.PRNGKey(9), jnp.zeros((32, code.n)), 2.0)
+    for fn in (qc_fused_decode_batch, qc_fused_decode_batch_layered):
+        full = fn(llr, dec.weights, qc=qc, spec=dec.spec, max_iterations=T,
+                  dtype=jnp.float32, batch_tile=16, interpret=True)
+        lean = fn(llr, dec.weights, qc=qc, spec=dec.spec, max_iterations=T,
+                  dtype=jnp.float32, batch_tile=16, interpret=True,
+                  lean=True)
+        assert lean.posterior is None
+        assert lean.bits.dtype == jnp.int8
+        np.testing.assert_array_equal(np.asarray(lean.bits),
+                                      np.asarray(full.bits))
+        np.testing.assert_array_equal(np.asarray(lean.success),
+                                      np.asarray(full.success))
+        np.testing.assert_array_equal(np.asarray(lean.iterations),
+                                      np.asarray(full.iterations))
+
+
+def test_lean_via_decoder_options():
+    """qc_options={'fused': True, 'lean': True} flows through Decoder and
+    is dropped on the training fallback (which keeps the full contract)."""
+    T = 3
+    code, qc, dec = _setup(2, 5, 16, T, base_seed=3, kind="rcq", bc=3,
+                           qc_options={"fused": True, "batch_tile": 16,
+                                       "interpret": True,
+                                       "dtype": jnp.float32, "lean": True})
+    llr = awgn_llr(jax.random.PRNGKey(4), jnp.zeros((16, code.n)), 2.0)
+    out = dec(llr)
+    assert out.posterior is None and out.bits.dtype == jnp.int8
+    ref = qc_decode_batch(llr, dec.weights, qc=qc, spec=dec.spec,
+                          max_iterations=T, check_every=T)
+    np.testing.assert_array_equal(np.asarray(out.bits), np.asarray(ref.bits))
+    # trajectory request falls back to the XLA engine with full outputs
+    traj = dec(llr, return_trajectory=True)
+    assert traj.posteriors_all is not None and traj.posterior is not None
+
+
+def test_natural_layout_matches_block_layout():
+    """Lane-aligned lifts auto-route llr/posterior through [B, n] natural
+    layout (no XLA transposes); outputs must match the block layout
+    bit-for-bit on both fused kernels, lean and full."""
+    from ldpc_tpu.decode.pallas_fused import qc_fused_decode_batch_layered
+
+    T = 4
+    code, qc, dec = _setup(2, 5, 128, T, base_seed=6, density=0.9,
+                           kind="rcq", bc=3, bv=8)
+    assert qc.lift % 128 == 0
+    llr = awgn_llr(jax.random.PRNGKey(11), jnp.zeros((24, code.n)), 2.0)
+    for fn in (qc_fused_decode_batch, qc_fused_decode_batch_layered):
+        blockl = fn(llr, dec.weights, qc=qc, spec=dec.spec,
+                    max_iterations=T, dtype=jnp.float32, batch_tile=8,
+                    interpret=True, natural=False)
+        nat = fn(llr, dec.weights, qc=qc, spec=dec.spec, max_iterations=T,
+                 dtype=jnp.float32, batch_tile=8, interpret=True)
+        np.testing.assert_array_equal(np.asarray(nat.bits),
+                                      np.asarray(blockl.bits))
+        np.testing.assert_array_equal(np.asarray(nat.success),
+                                      np.asarray(blockl.success))
+        np.testing.assert_allclose(np.asarray(nat.posterior),
+                                   np.asarray(blockl.posterior),
+                                   rtol=0, atol=0)
+        lean = fn(llr, dec.weights, qc=qc, spec=dec.spec, max_iterations=T,
+                  dtype=jnp.float32, batch_tile=8, interpret=True,
+                  lean=True)
+        assert lean.posterior is None
+        np.testing.assert_array_equal(np.asarray(lean.bits),
+                                      np.asarray(blockl.bits))
