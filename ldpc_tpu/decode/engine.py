@@ -48,7 +48,10 @@ from ldpc_tpu.quantizer import (
 __all__ = ["VariantSpec", "DecodeResult", "decode_batch", "decode_batch_layered",
            "make_layers"]
 
-_INF = jnp.float32(jnp.inf)
+# python float, NOT a jnp scalar: a module-level jnp constant
+# forces backend init at import (hangs the whole package when the
+# remote TPU tunnel is down); where/full_like accept python scalars
+_INF = float("inf")
 
 
 @dataclasses.dataclass(frozen=True, eq=False)  # identity hash: static jit arg

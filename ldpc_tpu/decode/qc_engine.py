@@ -37,7 +37,10 @@ from ldpc_tpu.decode.engine import DecodeResult, VariantSpec, _make_qdq, _scan_x
 __all__ = ["QCGraph", "build_qc_graph", "qc_decode_batch",
            "qc_decode_batch_layered"]
 
-_INF = jnp.float32(jnp.inf)
+# python float, NOT a jnp scalar: a module-level jnp constant
+# forces backend init at import (hangs the whole package when the
+# remote TPU tunnel is down); where/full_like accept python scalars
+_INF = float("inf")
 
 
 @dataclasses.dataclass(frozen=True, eq=False)  # identity hash: static jit arg

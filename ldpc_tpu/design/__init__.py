@@ -1,0 +1,24 @@
+"""Quantizer/ladder design tools (the paper's §VI machinery).
+
+Discretized density evolution for the quantized min-sum decoder family,
+plus the per-phase (C, gamma) ladder designer built on it. Pure numpy —
+these are offline design-time tools, not decode-path code.
+"""
+
+from ldpc_tpu.design.dde import (
+    DegreeProfile,
+    DEResult,
+    degree_profile_from_H,
+    degree_profile_from_base,
+    density_evolution,
+    design_rcq_ladders,
+)
+
+__all__ = [
+    "DegreeProfile",
+    "DEResult",
+    "degree_profile_from_H",
+    "degree_profile_from_base",
+    "density_evolution",
+    "design_rcq_ladders",
+]
