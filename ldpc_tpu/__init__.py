@@ -31,6 +31,7 @@ from ldpc_tpu.codes import (
     save_protograph,
 )
 from ldpc_tpu.channel import awgn_llr, bpsk_modulate, simulate_awgn_channel
+from ldpc_tpu.encode import Encoder, make_encoder
 from ldpc_tpu.quantizer import (
     NonUniformQuantizer,
     phase_schedule,
