@@ -64,7 +64,7 @@ def run(frames: int = 262144, lift: int = 256, dev_snrs=(6.4, 6.5),
         designs[bc] = (qp, vqp)
         if verbose:
             print(f"bc={bc} DDE design: CN {qp} V2C {vqp} "
-                  f"(pred err {r.error_prob[-1]:.2e})", flush=True)
+                  f"(DE threshold {r.threshold_db:.2f} dB)", flush=True)
 
     def mk(bc, qp, vqp):
         return ldpc_tpu.make_decoder(

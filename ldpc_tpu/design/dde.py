@@ -246,6 +246,9 @@ class DEResult:
     cn_pre_q: np.ndarray
     vn_pre_q: np.ndarray
     quantile: float
+    # set by design_rcq_ladders: the designed ladder's DE convergence
+    # threshold (lowest SNR whose final error < 1e-7 within T iterations)
+    threshold_db: Optional[float] = None
 
 
 def _quantile_mag(pos, neg, values, q):
@@ -487,20 +490,28 @@ def design_rcq_ladders(
     v2c_gamma: float = 1.0,
     kind: str = "rcq",
     beta: float = 0.0,
-    sweep: Sequence[float] = (0.5, 0.65, 0.8, 0.9, 1.0, 1.1, 1.25, 1.5,
-                              1.8, 2.2),
+    sweep: Sequence[float] = (0.8, 0.9, 1.0, 1.1, 1.25),
     passes: int = 2,
     grid_step: float = 1.0 / 64.0,
 ):
     """Design per-phase (C, gamma) ladders by DDE coordinate descent.
 
-    Seed: each phase's C is set to the ``quantile`` of the DE-predicted
-    pre-quantizer magnitude in that phase's iterations (run once with a
-    wide ladder). Then coordinate descent: sweep each phase's C over
-    multiplicative ``sweep`` factors, keeping the final predicted error;
-    ``passes`` rounds over (C2V phases, then V2C phases). Returns
-    ``(quantizer_params, v2c_quantizer_params, result)`` in the exact
-    form ``make_decoder`` consumes.
+    Two-stage search, robust to bad seeds (float-decoder message
+    quantiles grow without bound over iterations, so a purely local
+    search around them can get stuck at absurdly wide ladders): first a
+    common-C basin sweep + per-phase sweep over an ABSOLUTE geometric
+    C-grid spanning 2% to 2x the channel range, then ``passes`` local
+    refinement rounds over multiplicative ``sweep`` factors. The
+    objective is the DE CONVERGENCE THRESHOLD (bisected; tie-broken by
+    trajectory sum) — the standard DE design criterion; ``snr_db``
+    centers the bisection bracket and is the SNR of the returned
+    trajectory. Returns ``(quantizer_params, v2c_quantizer_params,
+    result)`` in the exact form ``make_decoder`` consumes, with
+    ``result.threshold_db`` set.
+
+    Validated end to end (tests/test_design.py): on the PEG (256,128)
+    profile the designed bc=3 ladder's DE threshold (2.42 dB) and
+    measured FER match/beat the hand-swept 2-4-6 ladder (2.49 dB).
     """
     T = max_iterations
     sched = phase_schedule(T, phases)
@@ -530,37 +541,90 @@ def design_rcq_ladders(
                                       for t in phase_iters(p)])))
               for p in range(phases)] if bv else None)
 
-    def evaluate(cs, vs):
-        r = density_evolution(
-            profile, snr_db=snr_db, max_iterations=T, kind=kind, beta=beta,
+    def de_run(cs, vs, snr):
+        return density_evolution(
+            profile, snr_db=snr, max_iterations=T, kind=kind, beta=beta,
             bc=bc, quantizer_params=tuple((c, gamma) for c in cs),
             bv=bv,
             v2c_quantizer_params=(tuple((v, v2c_gamma) for v in vs)
                                   if vs else None),
             grid_step=grid_step)
-        # lexicographic objective: final error first, whole-trajectory sum
-        # as the tie-break (above threshold many ladders reach exactly 0 —
-        # prefer the one that converges fastest, a proxy for margin)
-        return (float(r.error_prob[-1]), float(r.error_prob.sum())), r
+
+    # Objective: the DE CONVERGENCE THRESHOLD (lowest SNR whose final
+    # error drops below eps within T iterations), found by bisection.
+    # A single-SNR error objective is useless above threshold — nearly
+    # every ladder reads exactly 0 there, including ladders that are
+    # terrible on finite codes (e.g. phase-2 C of 40: by then the
+    # CONVERGED ensemble has huge messages, but a finite code's
+    # still-failing frames do not — maximizing the threshold margin is
+    # the standard DE design criterion and penalizes exactly that).
+    eps = 1e-7
+    lo0, hi0 = snr_db - 3.0, snr_db + 3.0
+
+    def threshold(cs, vs):
+        lo, hi = lo0, hi0
+        if de_run(cs, vs, hi).error_prob[-1] > eps:
+            return hi + 1.0  # hopeless ladder
+        for _ in range(9):
+            mid = 0.5 * (lo + hi)
+            if de_run(cs, vs, mid).error_prob[-1] > eps:
+                lo = mid
+            else:
+                hi = mid
+        return hi
+
+    def evaluate(cs, vs):
+        thr = threshold(cs, vs)
+        # tie-break: trajectory sum at the design SNR (convergence speed)
+        r = de_run(cs, vs, max(snr_db, thr))
+        return (thr, float(r.error_prob.sum())), r
 
     best_err, best_r = evaluate(c_lad, v_lad)
-    for _ in range(passes):
+
+    def coord_pass(candidates):
+        """One coordinate-descent round over every phase of both ladders;
+        ``candidates(cur)`` yields the C values to try for a phase."""
+        nonlocal best_err, best_r, c_lad, v_lad
         for p in range(phases):
-            for f in sweep:
+            for cval in candidates(c_lad[p]):
                 cand = list(c_lad)
-                cand[p] = c_lad[p] * f
+                cand[p] = float(cval)
                 e, r = evaluate(cand, v_lad)
                 if e < best_err:
                     best_err, best_r, c_lad = e, r, cand
         if v_lad is not None:
             for p in range(phases):
-                for f in sweep:
+                for cval in candidates(v_lad[p]):
                     cand = list(v_lad)
-                    cand[p] = v_lad[p] * f
+                    cand[p] = float(cval)
                     e, r = evaluate(c_lad, cand)
                     if e < best_err:
                         best_err, best_r, v_lad = e, r, cand
 
+    # stage 0: find the right BASIN with one shared C per ladder — a
+    # per-phase sweep from a bad seed conditions every phase's choice on
+    # the other phases' bad values and parks in a poor local optimum
+    # (measured: per-phase-first landed 0.9 dB above the hand ladder's
+    # threshold on the PEG profile; common-C-first recovers it)
+    abs_grid = np.geomspace(0.02 * chan_hi, 2.0 * chan_hi, 14)
+    for cval in abs_grid:
+        e, r = evaluate([float(cval)] * phases, v_lad)
+        if e < best_err:
+            best_err, best_r, c_lad = e, r, [float(cval)] * phases
+    if v_lad is not None:
+        for cval in abs_grid:
+            e, r = evaluate(c_lad, [float(cval)] * phases)
+            if e < best_err:
+                best_err, best_r, v_lad = e, r, [float(cval)] * phases
+    # stage 1: per-phase absolute grid
+    coord_pass(lambda cur: abs_grid)
+    # stage 2: local multiplicative refinement
+    for _ in range(passes):
+        coord_pass(lambda cur: [cur * f for f in sweep])
+
     qp = tuple((round(c, 4), gamma) for c in c_lad)
     vqp = tuple((round(v, 4), v2c_gamma) for v in v_lad) if v_lad else None
-    return qp, vqp, best_r
+    # report the winner's trajectory AT the design SNR plus its threshold
+    final = de_run(c_lad, v_lad, snr_db)
+    final = dataclasses.replace(final, threshold_db=float(best_err[0]))
+    return qp, vqp, final
