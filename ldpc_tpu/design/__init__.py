@@ -13,6 +13,7 @@ from ldpc_tpu.design.dde import (
     density_evolution,
     design_rcq_ladders,
 )
+from ldpc_tpu.design.proto_dde import protograph_density_evolution
 
 __all__ = [
     "DegreeProfile",
@@ -21,4 +22,5 @@ __all__ = [
     "degree_profile_from_base",
     "density_evolution",
     "design_rcq_ladders",
+    "protograph_density_evolution",
 ]

@@ -227,6 +227,55 @@ def _sparse_support(full, tol=0.0):
     return idx
 
 
+def _conv_signed(a, b, K):
+    """Signed-pmf convolution with boundary lumping; sparse shift-add
+    when one operand has small support (quantized c2v alphabets), FFT
+    otherwise."""
+    sa, sb = _sparse_support(a), _sparse_support(b)
+    if len(sb) < len(sa):
+        a, b, sa, sb = b, a, sb, sa
+    if len(sa) <= 32:
+        out = np.zeros(2 * K - 1)
+        n = 2 * K - 1
+        for i in sa:
+            off = i - (K - 1)
+            pr = a[i]
+            if off >= 0:
+                out[off:] += pr * b[:n - off]
+                if off > 0:
+                    out[-1] += pr * b[n - off:].sum()
+            else:
+                out[:off] += pr * b[-off:]
+                out[0] += pr * b[:-off].sum()
+        return out
+    return _conv_clip(a, b, K)
+
+
+def _qdq_index_map(values, lut, grid_step, K):
+    """Grid-index map of snap-down-to-threshold quantization (the exact
+    ``quantizer.py`` semantics: largest tau_j <= |x|, reconstruct to the
+    threshold)."""
+    taus = np.asarray(lut, dtype=np.float64)
+    snapped = taus[np.clip(
+        np.searchsorted(taus, values + 1e-12, side="right") - 1,
+        0, len(taus) - 1)]
+    return np.clip(np.round(snapped / grid_step), 0, K - 1).astype(np.int64)
+
+
+def _cn_transform_index_map(values, K, grid_step, kind, beta, c_lut):
+    """Magnitude-value map of a CN variant transform + optional C2V qdq
+    (mirrors ``engine.py``'s variant kinds with scalar weights)."""
+    v = values.copy()
+    if kind in ("ms", "nms", "wrcq"):
+        v = beta * v
+    elif kind in ("oms", "orcq"):
+        v = np.maximum(v - beta, 0.0)
+    idx = np.clip(np.round(v / grid_step), 0, K - 1).astype(np.int64)
+    if c_lut is not None:
+        idx = _qdq_index_map(values, c_lut, grid_step, K)[idx]
+    return idx
+
+
 # --------------------------------------------------------------------------
 # density evolution
 # --------------------------------------------------------------------------
@@ -333,31 +382,10 @@ def density_evolution(
     chan_full[-1] += 1.0 - cdf[-1]
     chan_pos, chan_neg = _unsigned(chan_full, K)
 
-    def qdq_idx_map(lut):
-        """Grid-index map of snap-down-to-threshold quantization."""
-        taus = np.asarray(lut, dtype=np.float64)
-        snapped = taus[np.clip(
-            np.searchsorted(taus, values + 1e-12, side="right") - 1,
-            0, len(taus) - 1)]
-        return np.clip(np.round(snapped / grid_step), 0, K - 1).astype(
-            np.int64)
-
     def cn_transform_map(t):
-        """Magnitude-value map of this iteration's CN variant transform."""
-        v = values.copy()
-        if kind == "ms":
-            v = beta * v
-        elif kind == "oms":
-            v = np.maximum(v - beta, 0.0)
-        elif kind == "wrcq":
-            v = beta * v
-        elif kind == "orcq":
-            v = np.maximum(v - beta, 0.0)
-        idx = np.clip(np.round(v / grid_step), 0, K - 1).astype(np.int64)
-        if c_luts is not None:
-            q = qdq_idx_map(c_luts[t])
-            idx = q[idx]
-        return idx
+        return _cn_transform_index_map(
+            values, K, grid_step, kind, beta,
+            c_luts[t] if c_luts is not None else None)
 
     # initial v2c = raw channel llr (engine init, SURVEY §2b step 2)
     v2c_p, v2c_n = chan_pos.copy(), chan_neg.copy()
@@ -428,7 +456,8 @@ def density_evolution(
             sums[k_msgs] = s
             return s
 
-        v_map = qdq_idx_map(v_luts[t]) if v_luts is not None else None
+        v_map = (_qdq_index_map(values, v_luts[t], grid_step, K)
+                 if v_luts is not None else None)
 
         new_p = np.zeros(K)
         new_n = np.zeros(K)
