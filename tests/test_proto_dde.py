@@ -64,13 +64,15 @@ def test_punctured_column_degrades_high_rate_full_base():
 
 
 def test_pbrl_degree1_clipping_floor_and_bc4_fix():
-    """The RESULTS §16 slope cap, reproduced and explained by DE: on the
-    PBRL rate-1/3 base, degree-1 IR bits receive exactly ONE c2v message
-    whose magnitude is clipped at the C2V quantizer's C, so their error
-    is floored near P(llr < -C_max) — raising SNR barely helps. A bc=4
-    ladder with doubled range (3-6-12) removes ~2 decades of floor
+    """Degree-1 clipping on the PBRL base (RESULTS §17): a degree-1 IR
+    bit receives exactly ONE c2v message whose magnitude is clipped at
+    the C2V quantizer's C, so with the narrow bench bc=3 ladder its
+    ensemble error floors near P(llr < -C_max) — raising SNR barely
+    helps. A bc=4 ladder with doubled range (3-6-12) removes ~2 decades
     while keeping fine low-range steps (the §VI add-a-quantizer/add-a-
-    bit tension, resolved analytically)."""
+    bit tension, resolved analytically). NB: §16's measured 1e-4 cap
+    with its wide 6-11-16 ladder sits ~1000x ABOVE this ensemble curve —
+    a finite-graph effect, which is the diagnosis §17 records."""
     import ldpc_tpu
     B, lift = ldpc_tpu.create_pbrl_qc_protograph(k=1032, rate=1 / 3,
                                                  lift=86)
