@@ -13,7 +13,8 @@ from ldpc_tpu.design.dde import (
     density_evolution,
     design_rcq_ladders,
 )
-from ldpc_tpu.design.proto_dde import protograph_density_evolution
+from ldpc_tpu.design.proto_dde import (analyze_decoder,
+                                       protograph_density_evolution)
 
 __all__ = [
     "DegreeProfile",
@@ -23,4 +24,5 @@ __all__ = [
     "density_evolution",
     "design_rcq_ladders",
     "protograph_density_evolution",
+    "analyze_decoder",
 ]

@@ -44,7 +44,7 @@ from ldpc_tpu.design.dde import (
     _unsigned,
 )
 
-__all__ = ["protograph_density_evolution"]
+__all__ = ["protograph_density_evolution", "analyze_decoder"]
 
 
 def _loo_folds(pmfs):
@@ -76,12 +76,15 @@ def protograph_density_evolution(
     snr_db: float,
     max_iterations: int,
     kind: str = "rcq",
-    beta: float = 0.0,
-    alpha: float = 1.0,
+    beta=0.0,
+    alpha=1.0,
+    alpha_in_cn: bool = False,
     bc: Optional[int] = None,
     quantizer_params: Optional[Sequence[Tuple[float, float]]] = None,
     bv: Optional[int] = None,
     v2c_quantizer_params: Optional[Sequence[Tuple[float, float]]] = None,
+    c_luts: Optional[Sequence[np.ndarray]] = None,
+    v_luts: Optional[Sequence[np.ndarray]] = None,
     schedule: str = "layered",
     punctured_cols: Sequence[int] = (),
     grid_step: float = 1.0 / 64.0,
@@ -95,6 +98,17 @@ def protograph_density_evolution(
     with no channel observation (LLR 0). ``error_prob[t]`` averages the
     posterior bit-error over ALL base columns (punctured included — they
     are decoded bits), matching the engines' bit counting.
+
+    ``beta`` / ``alpha`` may be scalars or per-(iteration, edge) arrays
+    of shape [T, E] (edges in base row-major order — QCGraph block
+    order), so TRAINED degree-shared decoders analyze exactly;
+    ``alpha_in_cn`` selects the OMS-style second CN offset vs the
+    NMS-style VN extrinsic scaling (``VariantSpec.alpha_in_cn``).
+    ``c_luts``/``v_luts`` (one [L] threshold array per iteration)
+    override the (bc, quantizer_params)-derived schedule — pass
+    ``spec.thresholds`` rows to reproduce a built decoder exactly.
+    Use :func:`analyze_decoder` to derive every argument from a
+    ``Decoder``.
     """
     base = np.asarray(base)
     mb, nb = base.shape
@@ -104,6 +118,7 @@ def protograph_density_evolution(
     sd = 2.0 / math.sqrt(sigma2)
 
     edges = [(r, c) for r in range(mb) for c in range(nb) if base[r, c] >= 0]
+    E = len(edges)
     eidx = {e: i for i, e in enumerate(edges)}
     row_edges = [[eidx[(r, c)] for c in range(nb) if base[r, c] >= 0]
                  for r in range(mb)]
@@ -114,21 +129,32 @@ def protograph_density_evolution(
             raise ValueError(f"base column {c} has no checks")
     punct = set(int(c) for c in punctured_cols)
 
+    beta = np.asarray(beta, dtype=np.float64)
+    alpha = np.asarray(alpha, dtype=np.float64)
+    if beta.ndim not in (0, 2) or alpha.ndim not in (0, 2):
+        raise ValueError("beta/alpha must be scalars or [T, E] arrays")
+
+    def wt(tab, t, e):
+        return float(tab[t, e]) if tab.ndim == 2 else float(tab)
+
     def sched_luts(params, bits):
         if params is None or bits is None:
             return None
         s = phase_schedule(T, len(params))
         return [power_thresholds(bits, *params[p]) for p in s]
 
-    c_luts = sched_luts(quantizer_params, bc) if kind in (
-        "rcq", "wrcq", "orcq") else None
-    v_luts = sched_luts(v2c_quantizer_params, bv)
+    if c_luts is None:
+        c_luts = sched_luts(quantizer_params, bc) if kind in (
+            "rcq", "wrcq", "orcq") else None
+    if v_luts is None:
+        v_luts = sched_luts(v2c_quantizer_params, bv)
 
     if grid_max is None:
         if c_luts is not None:
             reach = max(float(l[-1]) for l in c_luts)
         else:
-            reach = (mu + 8 * sd) * max(beta, 1.0)
+            bmax = float(beta.max()) if beta.ndim else float(beta)
+            reach = (mu + 8 * sd) * max(bmax, 1.0)
         dv_max = max(len(es) for es in col_edges)
         grid_max = mu + 8.0 * sd + dv_max * reach
     K = int(math.ceil(grid_max / grid_step)) + 1
@@ -148,14 +174,57 @@ def protograph_density_evolution(
     zero[K - 1] = 1.0
     chan_col = [zero if c in punct else chan for c in range(nb)]
 
-    def alpha_scale(full):
-        if alpha == 1.0:
+    amap_cache = {}
+
+    def alpha_scale(full, a):
+        """NMS-style VN extrinsic scaling by the output edge's alpha."""
+        if a == 1.0 or alpha_in_cn:
             return full
+        if a not in amap_cache:
+            amap_cache[a] = np.clip(np.round(values * a / grid_step), 0,
+                                    K - 1).astype(np.int64)
         p, n_ = _unsigned(full, K)
-        amap = np.clip(np.round(values * alpha / grid_step), 0,
-                       K - 1).astype(np.int64)
-        p, n_ = _remap_mag(p, n_, amap)
+        p, n_ = _remap_mag(p, n_, amap_cache[a])
         return _signed(p, n_)
+
+    tmap_cache = {}
+
+    def cn_apply(lp, ln, t, e):
+        """Push (pos, neg) through this edge's CN transform + C2V qdq.
+
+        Handles the OMS second offset going NEGATIVE (relu(m-b)-a < 0
+        flips the message sign — the engines do exactly this:
+        ``out = loo_sign * off`` with no second relu)."""
+        b = wt(beta, t, e)
+        a = wt(alpha, t, e) if alpha_in_cn else 0.0
+        key = (t, b, a)
+        if key not in tmap_cache:
+            v = values.astype(np.float64)
+            if kind in ("ms", "nms", "wrcq"):
+                v = b * v
+            elif kind in ("oms", "orcq"):
+                v = np.maximum(v - b, 0.0) - a
+            if c_luts is not None:
+                taus = np.asarray(c_luts[t], np.float64)
+                mag = np.abs(v)
+                snapped = taus[np.clip(
+                    np.searchsorted(taus, mag + 1e-12, side="right") - 1,
+                    0, len(taus) - 1)]
+                v = np.sign(v) * snapped
+            idx = np.clip(np.round(np.abs(v) / grid_step), 0,
+                          K - 1).astype(np.int64)
+            tmap_cache[key] = (idx, v < 0)
+        idx, flip = tmap_cache[key]
+        pos_out = np.zeros(K)
+        neg_out = np.zeros(K)
+        keep = ~flip
+        np.add.at(pos_out, idx[keep], lp[keep])
+        np.add.at(neg_out, idx[flip], lp[flip])
+        np.add.at(neg_out, idx[keep], ln[keep])
+        np.add.at(pos_out, idx[flip], ln[flip])
+        pos_out[0] += neg_out[0]
+        neg_out[0] = 0.0
+        return pos_out, neg_out
 
     def renorm(full):
         return full / full.sum()
@@ -174,9 +243,6 @@ def protograph_density_evolution(
     vn_q = np.zeros(T)
 
     for t in range(T):
-        tmap = _cn_transform_index_map(
-            values, K, grid_step, kind, beta,
-            c_luts[t] if c_luts is not None else None)
         v_map = (_qdq_index_map(values, v_luts[t], grid_step, K)
                  if v_luts is not None else None)
         pre_p = np.zeros(K)
@@ -193,7 +259,7 @@ def protograph_density_evolution(
                     lp, ln = loo[k]
                     pre_p += lp
                     pre_n += ln
-                    qp2, qn2 = _remap_mag(lp, ln, tmap)
+                    qp2, qn2 = cn_apply(lp, ln, t, e)
                     c2v[e] = _signed(qp2, qn2)
             new_v2c = [None] * len(edges)
             for c in range(nb):
@@ -203,7 +269,8 @@ def protograph_density_evolution(
                     for k2, e2 in enumerate(es):
                         if k2 != k:
                             s = _conv_signed(s, c2v[e2], K)
-                    pre = _conv_signed(alpha_scale(s), chan_col[c], K)
+                    s = alpha_scale(s, wt(alpha, t, e))
+                    pre = _conv_signed(s, chan_col[c], K)
                     pp, pn = _unsigned(pre, K)
                     pre_vp += pp
                     pre_vn += pn
@@ -220,7 +287,8 @@ def protograph_density_evolution(
                     for e2 in col_edges[c]:
                         if e2 != e:
                             s = _conv_signed(s, c2v[e2], K)
-                    pre = _conv_signed(alpha_scale(s), chan_col[c], K)
+                    s = alpha_scale(s, wt(alpha, t, e))
+                    pre = _conv_signed(s, chan_col[c], K)
                     pp, pn = _unsigned(renorm(pre), K)
                     pre_vp += pp
                     pre_vn += pn
@@ -230,7 +298,7 @@ def protograph_density_evolution(
                     lp, ln = loo[k]
                     pre_p += lp
                     pre_n += ln
-                    qp2, qn2 = _remap_mag(lp, ln, tmap)
+                    qp2, qn2 = cn_apply(lp, ln, t, e)
                     c2v[e] = renorm(_signed(qp2, qn2))
 
         cn_q[t] = _quantile_mag(pre_p / len(edges), pre_n / len(edges),
@@ -250,14 +318,81 @@ def protograph_density_evolution(
             neg_cut = int(math.floor((K - 1) - tau1 / grid_step + 1e-9)) + 1
         else:
             neg_cut = K - 1  # strictly negative values
+        # engines compute posterior = llr + colsum with NO alpha scaling
+        # (pallas_fused _store_post / layered epilogue)
         for c in range(nb):
             s = zero
             for e2 in col_edges[c]:
                 s = _conv_signed(s, c2v[e2], K)
-            post = _conv_signed(alpha_scale(s), chan_col[c], K)
+            post = _conv_signed(s, chan_col[c], K)
             post = post / post.sum()
             e_sum += post[:neg_cut].sum()
         err[t] = e_sum / nb
 
     return DEResult(error_prob=err, cn_pre_q=cn_q, vn_pre_q=vn_q,
                     quantile=quantile)
+
+
+def analyze_decoder(
+    decoder,
+    *,
+    snr_db: float,
+    max_iterations: Optional[int] = None,
+    schedule: Optional[str] = None,
+    punctured_cols: Sequence[int] = (),
+    grid_step: float = 1.0 / 64.0,
+    grid_max: Optional[float] = None,
+) -> DEResult:
+    """Protograph DE of a built QC :class:`~ldpc_tpu.decode.variants
+    .Decoder` — trained weights, exact per-iteration quantizer LUTs, and
+    its schedule, all read off the decoder itself.
+
+    QCGraph blocks are base-row-major (qc_engine.py QCGraph docstring),
+    the same order this module enumerates protograph edges, so the
+    decoder's per-block weight tables map 1:1 onto per-edge DE weights.
+    """
+    qc = decoder.qc
+    if qc is None:
+        raise ValueError("analyze_decoder needs a QC decoder (qc= set); "
+                         "for plain codes use density_evolution on "
+                         "degree_profile_from_H")
+    spec = decoder.spec
+    T = max_iterations or decoder.max_iterations
+
+    base = np.full((qc.mb, qc.nb), -1, dtype=np.int64)
+    base[np.asarray(qc.block_row), np.asarray(qc.block_col)] = \
+        np.asarray(qc.block_shift)
+
+    def tab(idx, fixed, name):
+        if idx is None:
+            return float(fixed)
+        w = decoder.weights[name]  # [T_w, n_buckets]
+        return np.asarray(w)[:T, np.asarray(idx)]  # [T, E]
+
+    beta = tab(spec.beta_idx, spec.fixed_beta, "beta")
+    alpha = tab(spec.alpha_idx, spec.fixed_alpha, "alpha")
+
+    def luts(thresholds, qparams, levels):
+        if thresholds is not None:
+            return [np.asarray(thresholds[t]) for t in range(T)]
+        if qparams is not None:
+            return [power_thresholds_from_levels(levels, *qparams[t])
+                    for t in range(T)]
+        return None
+
+    def power_thresholds_from_levels(levels, C, gamma):
+        M = levels - 1
+        j = np.arange(levels, dtype=np.float64)
+        return (C * (j / M) ** gamma).astype(np.float64)
+
+    c_luts = (luts(spec.thresholds, spec.qparams, spec.q_levels)
+              if spec.kind in ("rcq", "wrcq", "orcq") else None)
+    v_luts = luts(spec.v2c_thresholds, spec.v2c_qparams, spec.v2c_levels)
+
+    return protograph_density_evolution(
+        base, snr_db=snr_db, max_iterations=T, kind=spec.kind,
+        beta=beta, alpha=alpha, alpha_in_cn=spec.alpha_in_cn,
+        c_luts=c_luts, v_luts=v_luts,
+        schedule=schedule or ("layered" if decoder.layered else "flooding"),
+        punctured_cols=punctured_cols, grid_step=grid_step,
+        grid_max=grid_max)

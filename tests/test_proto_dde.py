@@ -96,3 +96,54 @@ def test_pbrl_degree1_clipping_floor_and_bc4_fix():
               v2c_quantizer_params=((4.0, 1.0), (12.0, 1.0), (24.0, 1.0)),
               schedule="layered")
     assert bad.error_prob[-1] > 1e-2
+
+
+def test_analyze_decoder_matches_direct_pde():
+    """analyze_decoder reads kind/LUTs/schedule/weights off a built QC
+    decoder; for a plain RCQ decoder it must equal the direct call."""
+    import ldpc_tpu
+    from ldpc_tpu.decode.qc_engine import build_qc_graph
+    from ldpc_tpu.design import analyze_decoder
+
+    base = _bench_base()
+    code = ldpc_tpu.create_qc_code(base, lift=256, max_iterations=6)
+    qc = build_qc_graph(base, 256)
+    dec = ldpc_tpu.make_decoder(
+        code, kind="rcq", bc=3, bv=8,
+        quantizer_params=((2.0, 1.3), (4.0, 1.3), (6.0, 1.3)),
+        v2c_quantizer_params=((4.0, 1.0), (8.0, 1.0), (12.0, 1.0)),
+        max_iterations=6, qc=qc, layered=True)
+    via_dec = analyze_decoder(dec, snr_db=6.4)
+    direct = pde(base, schedule="layered", snr_db=6.4, max_iterations=6,
+                 **RCQ)
+    np.testing.assert_allclose(via_dec.error_prob, direct.error_prob,
+                               rtol=1e-6, atol=1e-12)
+
+
+def test_analyze_decoder_trained_weights_matter():
+    """Per-edge (degree-shared) trained weights flow into the DE: an
+    orcq decoder analyzed with its init weights differs from the same
+    decoder with shifted beta, and both run the layered schedule."""
+    import dataclasses
+    import jax.numpy as jnp
+    import ldpc_tpu
+    from ldpc_tpu.decode.qc_engine import build_qc_graph
+    from ldpc_tpu.design import analyze_decoder
+
+    base = _bench_base()
+    code = ldpc_tpu.create_qc_code(base, lift=256, max_iterations=5)
+    qc = build_qc_graph(base, 256)
+    dec = ldpc_tpu.make_decoder(
+        code, kind="orcq", bc=3, bv=8, sharing_type=2,
+        quantizer_params=((2.0, 1.3), (4.0, 1.3), (6.0, 1.3)),
+        v2c_quantizer_params=((4.0, 1.0), (8.0, 1.0), (12.0, 1.0)),
+        max_iterations=5, qc=qc, layered=True, seed=3)
+    r0 = analyze_decoder(dec, snr_db=6.4)
+    shifted = dataclasses.replace(
+        dec, weights={k: (v + 0.6 if k == "beta" else v)
+                      for k, v in dec.weights.items()})
+    r1 = analyze_decoder(shifted, snr_db=6.4)
+    assert r0.error_prob.shape == (5,)
+    # a 0.6 offset shift materially changes the predicted trajectory
+    assert abs(r1.error_prob[-1] - r0.error_prob[-1]) > 1e-6 or \
+        abs(r1.error_prob[2] - r0.error_prob[2]) > 1e-6
