@@ -97,6 +97,13 @@ def load_pretrained(path: str, *, qc_options: Optional[dict] = None,
     from ldpc_tpu.codes import load_alist, load_protograph
     from ldpc_tpu.decode.qc_engine import build_qc_graph
 
+    if (not os.path.exists(os.path.join(path, "spec.json"))
+            and os.path.sep not in path):
+        # bare entry name: resolve against the default zoo directory
+        # (the names list_pretrained shows)
+        cand = os.path.join(DEFAULT_ZOO_DIR, path)
+        if os.path.exists(os.path.join(cand, "spec.json")):
+            path = cand
     with open(os.path.join(path, "spec.json")) as f:
         spec = json.load(f)
     if spec.get("format") != _FORMAT:
