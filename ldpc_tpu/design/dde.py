@@ -482,13 +482,11 @@ def density_evolution(
         vn_q[t] = _quantile_mag(pre_vp, pre_vn, values, quantile)
 
         # ---- posterior error (node-perspective) ----
+        # the engines compute posterior = llr + colsum with NO alpha
+        # scaling (pallas_fused _store_post), so neither does DE
         e = 0.0
         for dv, frac in profile.var_nodes:
             s = get_sum(dv)
-            if alpha != 1.0:
-                sp, sn = _unsigned(s, K)
-                sp, sn = _remap_mag(sp, sn, amap)
-                s = _signed(sp, sn)
             post = _conv_clip(s, chan_full, K)
             e += frac * post[:K - 1].sum()  # strictly negative mass
         err[t] = e
