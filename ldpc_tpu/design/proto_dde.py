@@ -35,7 +35,6 @@ from ldpc_tpu.quantizer import phase_schedule, power_thresholds
 from ldpc_tpu.design.dde import (
     DEResult,
     _cn_combine,
-    _cn_transform_index_map,
     _conv_signed,
     _qdq_index_map,
     _quantile_mag,
