@@ -344,7 +344,7 @@ def qc_fused_decode_batch(
     decoded per grid step with the full message state VMEM-resident; B
     must be divisible by it. ``lean=True`` skips the [B, n] posterior
     materialization and returns int8 bits (see ``_result_epilogue``).
-    ``natural`` (auto when ``lift % 128 == 0``) streams llr/posterior in
+    ``natural=True`` (requires ``lift % 128 == 0``) streams llr/posterior in
     their [B, n] layout — no XLA-side layout transposes at either end.
     """
     T = max_iterations
@@ -366,7 +366,12 @@ def qc_fused_decode_batch(
             f"(or batch_tile=None to auto-pick)")
 
     if natural is None:
-        natural = L % 128 == 0
+        # OPT-IN until validated on the real Mosaic toolchain: this
+        # layout has only run in interpret mode so far, and auto-enabling
+        # would silently change the warmed bench program shape
+        # (CLAUDE.md bench notes). Flip to `L % 128 == 0` once measured
+        # on-chip.
+        natural = False
     if natural and L % 128:
         raise ValueError(f"natural layout needs lift % 128 == 0, got {L}")
     if natural:
@@ -593,7 +598,12 @@ def qc_fused_decode_batch_layered(
             f"(or batch_tile=None to auto-pick)")
 
     if natural is None:
-        natural = L % 128 == 0
+        # OPT-IN until validated on the real Mosaic toolchain: this
+        # layout has only run in interpret mode so far, and auto-enabling
+        # would silently change the warmed bench program shape
+        # (CLAUDE.md bench notes). Flip to `L % 128 == 0` once measured
+        # on-chip.
+        natural = False
     if natural and L % 128:
         raise ValueError(f"natural layout needs lift % 128 == 0, got {L}")
     if natural:

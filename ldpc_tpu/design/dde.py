@@ -276,6 +276,51 @@ def _cn_transform_index_map(values, K, grid_step, kind, beta, c_lut):
     return idx
 
 
+def _make_grid(grid_max: float, grid_step: float):
+    """(K, magnitude values) for a symmetric grid of the given reach."""
+    K = int(math.ceil(grid_max / grid_step)) + 1
+    return K, np.arange(K) * grid_step
+
+
+def _channel_pmf_signed(mu: float, sd: float, K: int,
+                        grid_step: float) -> np.ndarray:
+    """Signed [-R..R] channel-LLR pmf: erf bin integrals with the tail
+    mass lumped into the boundary bins (llr ~ N(mu, sd^2),
+    ``channel.py:41-52``)."""
+    from math import erf
+
+    def phi(x):
+        return 0.5 * (1.0 + erf(x / math.sqrt(2.0)))
+
+    edges = (np.arange(-(K - 1), K + 1) - 0.5) * grid_step
+    cdf = np.array([phi((e - mu) / sd) for e in edges])
+    full = np.diff(cdf)
+    full[0] += cdf[0]
+    full[-1] += 1.0 - cdf[-1]
+    return full
+
+
+def _sched_luts(params, bits, T):
+    """Per-iteration threshold LUTs from (C, gamma) pairs on the thirds
+    phase schedule (``quantizer.phase_schedule``)."""
+    if params is None or bits is None:
+        return None
+    s = phase_schedule(T, len(params))
+    return [power_thresholds(bits, *params[p]) for p in s]
+
+
+def _bit_error_cut(v_lut, K: int, grid_step: float) -> int:
+    """Slice end ``e`` such that ``signed_pmf[:e].sum()`` is the bit
+    error probability under the engines' decision rule: bit =
+    vqdq(posterior) < 0. Snap-down maps |post| < tau1 to +-0 and
+    ``-0.0 < 0`` is false, so with bv active the error mass is the
+    ``post <= -tau1`` tail; without bv it is strictly-negative mass."""
+    if v_lut is not None and len(v_lut) > 1 and float(v_lut[1]) > 0:
+        tau1 = float(v_lut[1])
+        return int(math.floor((K - 1) - tau1 / grid_step + 1e-9)) + 1
+    return K - 1
+
+
 # --------------------------------------------------------------------------
 # density evolution
 # --------------------------------------------------------------------------
@@ -286,7 +331,9 @@ class DEResult:
 
     ``error_prob[t]`` is the ensemble bit-error probability of the hard
     decision on the posterior after iteration t+1 (engine rule:
-    ``bit = posterior < 0``, so mass AT zero counts as correct).
+    ``bit = vqdq(posterior) < 0`` — mass at zero counts as correct, and
+    with bv active the whole snap-down dead zone (-tau1, 0) does too;
+    see ``_bit_error_cut``).
     ``cn_pre_q[t]`` / ``vn_pre_q[t]`` are high quantiles (given by
     ``quantile``) of the CN / VN pre-quantizer magnitude distributions —
     the natural anchors for choosing C."""
@@ -342,44 +389,23 @@ def density_evolution(
     sd = 2.0 / math.sqrt(sigma2)
 
     # per-iteration quantizer LUTs (values snapped to the grid later)
-    def sched_luts(params, bits):
-        if params is None or bits is None:
-            return None
-        sched = phase_schedule(T, len(params))
-        return [power_thresholds(bits, *params[s]) for s in sched]
-
-    c_luts = sched_luts(quantizer_params, bc) if kind in (
+    c_luts = _sched_luts(quantizer_params, bc, T) if kind in (
         "rcq", "wrcq", "orcq") else None
-    v_luts = sched_luts(v2c_quantizer_params, bv)
-
-    max_c2v = 0.0
-    if c_luts is not None:
-        max_c2v = max(float(l[-1]) for l in c_luts)
+    v_luts = _sched_luts(v2c_quantizer_params, bv, T)
 
     if grid_max is None:
         # cover the channel (mu + 8 sd) plus the largest VN sum the
         # transform can produce
         if c_luts is not None:
-            reach = max_c2v
+            reach = max(float(l[-1]) for l in c_luts)
         elif kind == "ms":
             reach = (mu + 8 * sd) * max(beta, 1.0)
         else:
             reach = mu + 8 * sd
         grid_max = mu + 8.0 * sd + (profile.max_dv) * reach
-    K = int(math.ceil(grid_max / grid_step)) + 1
-    values = np.arange(K) * grid_step
+    K, values = _make_grid(grid_max, grid_step)
 
-    # channel pmf on the signed grid (error-function bin integrals)
-    from math import erf
-
-    def phi(x):
-        return 0.5 * (1.0 + erf(x / math.sqrt(2.0)))
-
-    edges = (np.arange(-(K - 1), K + 1) - 0.5) * grid_step
-    cdf = np.array([phi((e - mu) / sd) for e in edges])
-    chan_full = np.diff(cdf)
-    chan_full[0] += cdf[0] - 0.0
-    chan_full[-1] += 1.0 - cdf[-1]
+    chan_full = _channel_pmf_signed(mu, sd, K, grid_step)
     chan_pos, chan_neg = _unsigned(chan_full, K)
 
     def cn_transform_map(t):
@@ -483,12 +509,15 @@ def density_evolution(
 
         # ---- posterior error (node-perspective) ----
         # the engines compute posterior = llr + colsum with NO alpha
-        # scaling (pallas_fused _store_post), so neither does DE
+        # scaling (pallas_fused _store_post), so neither does DE; the
+        # bit rule includes the bv dead zone (see _bit_error_cut)
+        cut = _bit_error_cut(v_luts[t] if v_luts is not None else None,
+                             K, grid_step)
         e = 0.0
         for dv, frac in profile.var_nodes:
             s = get_sum(dv)
             post = _conv_clip(s, chan_full, K)
-            e += frac * post[:K - 1].sum()  # strictly negative mass
+            e += frac * post[:cut].sum()
         err[t] = e
 
         # renormalize: FFT rounding seeds a ~1e-9 mass drift that the

@@ -30,15 +30,19 @@ from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
-from ldpc_tpu.quantizer import phase_schedule, power_thresholds
+from ldpc_tpu.quantizer import power_thresholds_for_levels
 
 from ldpc_tpu.design.dde import (
     DEResult,
+    _bit_error_cut,
+    _channel_pmf_signed,
     _cn_combine,
     _conv_signed,
+    _make_grid,
     _qdq_index_map,
     _quantile_mag,
     _remap_mag,
+    _sched_luts,
     _signed,
     _unsigned,
 )
@@ -136,17 +140,11 @@ def protograph_density_evolution(
     def wt(tab, t, e):
         return float(tab[t, e]) if tab.ndim == 2 else float(tab)
 
-    def sched_luts(params, bits):
-        if params is None or bits is None:
-            return None
-        s = phase_schedule(T, len(params))
-        return [power_thresholds(bits, *params[p]) for p in s]
-
     if c_luts is None:
-        c_luts = sched_luts(quantizer_params, bc) if kind in (
+        c_luts = _sched_luts(quantizer_params, bc, T) if kind in (
             "rcq", "wrcq", "orcq") else None
     if v_luts is None:
-        v_luts = sched_luts(v2c_quantizer_params, bv)
+        v_luts = _sched_luts(v2c_quantizer_params, bv, T)
 
     if grid_max is None:
         if c_luts is not None:
@@ -156,19 +154,8 @@ def protograph_density_evolution(
             reach = (mu + 8 * sd) * max(bmax, 1.0)
         dv_max = max(len(es) for es in col_edges)
         grid_max = mu + 8.0 * sd + dv_max * reach
-    K = int(math.ceil(grid_max / grid_step)) + 1
-    values = np.arange(K) * grid_step
-
-    from math import erf
-
-    def phi(x):
-        return 0.5 * (1.0 + erf(x / math.sqrt(2.0)))
-
-    edges_grid = (np.arange(-(K - 1), K + 1) - 0.5) * grid_step
-    cdf = np.array([phi((e - mu) / sd) for e in edges_grid])
-    chan = np.diff(cdf)
-    chan[0] += cdf[0]
-    chan[-1] += 1.0 - cdf[-1]
+    K, values = _make_grid(grid_max, grid_step)
+    chan = _channel_pmf_signed(mu, sd, K, grid_step)
     zero = np.zeros(2 * K - 1)
     zero[K - 1] = 1.0
     chan_col = [zero if c in punct else chan for c in range(nb)]
@@ -309,14 +296,8 @@ def protograph_density_evolution(
         # the bv qdq: snap-down keeps sign, so error mass is the strictly
         # sub(-tau1) tail when bv is active)
         e_sum = 0.0
-        # bit error iff qdq_v(post) < 0 iff post <= -tau1 (snap-down maps
-        # |post| < tau1 to +-0, and the engine decides bit = post < 0
-        # with -0.0 < 0 false); without bv it is simply post < 0
-        if v_map is not None and len(v_luts[t]) > 1:
-            tau1 = float(v_luts[t][1])
-            neg_cut = int(math.floor((K - 1) - tau1 / grid_step + 1e-9)) + 1
-        else:
-            neg_cut = K - 1  # strictly negative values
+        neg_cut = _bit_error_cut(v_luts[t] if v_luts is not None else None,
+                                 K, grid_step)
         # engines compute posterior = llr + colsum with NO alpha scaling
         # (pallas_fused _store_post / layered epilogue)
         for c in range(nb):
@@ -357,6 +338,10 @@ def analyze_decoder(
                          "degree_profile_from_H")
     spec = decoder.spec
     T = max_iterations or decoder.max_iterations
+    if T > decoder.max_iterations:
+        raise ValueError(
+            f"decoder has weights/LUTs for T={decoder.max_iterations} "
+            f"iterations; cannot analyze at max_iterations={T}")
 
     base = np.full((qc.mb, qc.nb), -1, dtype=np.int64)
     base[np.asarray(qc.block_row), np.asarray(qc.block_col)] = \
@@ -375,14 +360,9 @@ def analyze_decoder(
         if thresholds is not None:
             return [np.asarray(thresholds[t]) for t in range(T)]
         if qparams is not None:
-            return [power_thresholds_from_levels(levels, *qparams[t])
+            return [power_thresholds_for_levels(levels, *qparams[t])
                     for t in range(T)]
         return None
-
-    def power_thresholds_from_levels(levels, C, gamma):
-        M = levels - 1
-        j = np.arange(levels, dtype=np.float64)
-        return (C * (j / M) ** gamma).astype(np.float64)
 
     c_luts = (luts(spec.thresholds, spec.qparams, spec.q_levels)
               if spec.kind in ("rcq", "wrcq", "orcq") else None)

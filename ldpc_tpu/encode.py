@@ -103,6 +103,18 @@ class Encoder:
     def k_eff(self) -> int:
         return len(self.info_positions)
 
+    def _device_constants(self):
+        """Upload P / index vectors once, lazily (P is ~40 MB on the
+        bench-class code — per-call jnp.asarray would re-transfer it
+        over the remote tunnel on every encode)."""
+        dev = getattr(self, "_dev", None)
+        if dev is None:
+            dev = (jnp.asarray(self._P, jnp.float32),
+                   jnp.asarray(self.info_positions),
+                   jnp.asarray(self.pivot_positions))
+            object.__setattr__(self, "_dev", dev)
+        return dev
+
     def __call__(self, info_bits: jnp.ndarray) -> jnp.ndarray:
         """Encode [B, k_eff] (or [k_eff]) info bits -> [B, n] codewords."""
         u = jnp.asarray(info_bits)
@@ -112,9 +124,8 @@ class Encoder:
         if u.shape[-1] != self.k_eff:
             raise ValueError(
                 f"expected {self.k_eff} info bits, got {u.shape[-1]}")
-        c = _encode_batch(u, jnp.asarray(self._P, jnp.float32),
-                          jnp.asarray(self.info_positions),
-                          jnp.asarray(self.pivot_positions), self.code.n)
+        P, info, piv = self._device_constants()
+        c = _encode_batch(u, P, info, piv, self.code.n)
         return c[0] if squeeze else c
 
     def syndrome_ok(self, codewords: jnp.ndarray) -> jnp.ndarray:

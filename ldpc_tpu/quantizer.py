@@ -30,6 +30,7 @@ import numpy as np
 __all__ = [
     "NonUniformQuantizer",
     "power_thresholds",
+    "power_thresholds_for_levels",
     "quantize",
     "dequantize",
     "quantize_dequantize",
@@ -46,12 +47,19 @@ __all__ = [
 ]
 
 
+def power_thresholds_for_levels(levels: int, C: float,
+                                gamma: float) -> np.ndarray:
+    """tau_j = C * (j / (levels-1))^gamma, j = 0..levels-1 — the ladder
+    parameterized by its level count (= 2^(bc-1)) directly."""
+    max_idx = levels - 1
+    j = np.arange(levels, dtype=np.float64)
+    return (C * (j / max_idx) ** gamma).astype(np.float32)
+
+
 def power_thresholds(bc: int, C: float, gamma: float) -> np.ndarray:
     """tau_j = C * (j / (2^(bc-1)-1))^gamma, j = 0..2^(bc-1)-1
     (reference ``rcq_decoder.py:48-57``)."""
-    max_idx = 2 ** (bc - 1) - 1
-    j = np.arange(max_idx + 1, dtype=np.float64)
-    return (C * (j / max_idx) ** gamma).astype(np.float32)
+    return power_thresholds_for_levels(2 ** (bc - 1), C, gamma)
 
 
 def _threshold_index(mag: jnp.ndarray, thresholds: jnp.ndarray) -> jnp.ndarray:

@@ -263,9 +263,10 @@ def test_lean_via_decoder_options():
 
 
 def test_natural_layout_matches_block_layout():
-    """Lane-aligned lifts auto-route llr/posterior through [B, n] natural
-    layout (no XLA transposes); outputs must match the block layout
-    bit-for-bit on both fused kernels, lean and full."""
+    """natural=True routes llr/posterior through [B, n] layout (no XLA
+    transposes; opt-in until validated on real Mosaic); outputs must
+    match the block layout bit-for-bit on both fused kernels, lean and
+    full."""
     from ldpc_tpu.decode.pallas_fused import qc_fused_decode_batch_layered
 
     T = 4
@@ -278,7 +279,8 @@ def test_natural_layout_matches_block_layout():
                     max_iterations=T, dtype=jnp.float32, batch_tile=8,
                     interpret=True, natural=False)
         nat = fn(llr, dec.weights, qc=qc, spec=dec.spec, max_iterations=T,
-                 dtype=jnp.float32, batch_tile=8, interpret=True)
+                 dtype=jnp.float32, batch_tile=8, interpret=True,
+                 natural=True)
         np.testing.assert_array_equal(np.asarray(nat.bits),
                                       np.asarray(blockl.bits))
         np.testing.assert_array_equal(np.asarray(nat.success),
@@ -288,7 +290,7 @@ def test_natural_layout_matches_block_layout():
                                    rtol=0, atol=0)
         lean = fn(llr, dec.weights, qc=qc, spec=dec.spec, max_iterations=T,
                   dtype=jnp.float32, batch_tile=8, interpret=True,
-                  lean=True)
+                  lean=True, natural=True)
         assert lean.posterior is None
         np.testing.assert_array_equal(np.asarray(lean.bits),
                                       np.asarray(blockl.bits))
