@@ -56,9 +56,10 @@ def run(epochs: int = 24, frames: int = 65536, lift: int = 256,
     if jax.default_backend() == "cpu":  # CPU smoke runs: interpret Pallas
         fused = dict(fused, interpret=True, dtype=jnp.float32)
 
-    def mk(T, kind, trained_weights=None, opts=fused):
+    def mk(T, kind, trained_weights=None, opts=fused, per_layer=False):
         code = ldpc_tpu.create_qc_code(base, lift=lift, max_iterations=T)
-        kw = {} if kind in ("ms", "rcq") else dict(sharing_type=2)
+        kw = {} if kind in ("ms", "rcq") else dict(sharing_type=2,
+                                                   per_layer=per_layer)
         dec = ldpc_tpu.make_decoder(
             code, kind=kind, bc=3, bv=8, quantizer_params=QP,
             v2c_quantizer_params=VQP, max_iterations=T, qc=qc,
@@ -69,21 +70,29 @@ def run(epochs: int = 24, frames: int = 65536, lift: int = 256,
         return dec
 
     # -- train at each short schedule --------------------------------------
+    # two arms per schedule: degree-shared weights, and PER-LAYER weights
+    # (make_decoder per_layer=True — each base row gets its own buckets;
+    # the open-thread hypothesis is that layer-specific weights unlock
+    # the T=5 schedule where plain degree sharing could not)
     candidates = {}
     for T in schedules:
-        dec = mk(T, "orcq", opts=fused)
-        tr = PosteriorJointTrainer(
-            dec, TrainingConfig(batch_size=128, num_epochs=epochs,
-                                learning_rate=2e-3, snr_range=(5.5, 7.5),
-                                early_stop_accuracy=2.0, seed=0))
-        hist = tr.train(num_samples=2048, verbose=verbose)
-        if verbose:
-            print(f"T={T}: final loss {hist['training_losses'][-1]:.5f}",
-                  flush=True)
-        save_checkpoint(f"experiments/orcq_layered_t{T}_ck",
-                        {k: v for k, v in dec.weights.items()
-                         if v is not None})
-        candidates[f"W-OMS-RCQ-L{T}"] = dec
+        for pl in (False, True):
+            dec = mk(T, "orcq", opts=fused, per_layer=pl)
+            tr = PosteriorJointTrainer(
+                dec, TrainingConfig(batch_size=128, num_epochs=epochs,
+                                    learning_rate=2e-3,
+                                    snr_range=(5.5, 7.5),
+                                    early_stop_accuracy=2.0, seed=0))
+            hist = tr.train(num_samples=2048, verbose=verbose)
+            tag = f"W-OMS-RCQ-L{T}" + ("+perlayer" if pl else "")
+            if verbose:
+                print(f"{tag}: final loss "
+                      f"{hist['training_losses'][-1]:.5f}", flush=True)
+            ck = (f"experiments/orcq_layered_t{T}"
+                  + ("_pl" if pl else "") + "_ck")
+            save_checkpoint(ck, {k: v for k, v in dec.weights.items()
+                                 if v is not None})
+            candidates[tag] = dec
 
     # -- FER at the operating points ---------------------------------------
     zoo = {

@@ -346,6 +346,7 @@ def make_decoder(
     qc: Optional[QCGraph] = None,
     qc_options: Optional[dict] = None,
     bucketed: bool = False,
+    per_layer: bool = False,
 ) -> Decoder:
     """Build any decoder variant.
 
@@ -365,6 +366,13 @@ def make_decoder(
         (PBRL/PEG families): CN/VN updates become unpadded dense reductions
         over degree groups (``bucketed_engine``). Flooding only; mutually
         exclusive with ``qc``/``layered``.
+    per_layer: give each LAYER (base row) its own weight buckets —
+        beta/alpha universes become (row x degree-bucket), multiplying
+        the parameter count by ``mb``. Layered neural decoding commonly
+        needs layer-specific weights because each layer sees a different
+        point of the convergence trajectory within one iteration; plain
+        degree sharing forces all rows of an iteration to share. QC
+        layered decoders only (the layers are base rows).
     """
     if bucketed and (qc is not None or layered):
         raise ValueError("bucketed engine is flooding-only and non-QC; "
@@ -377,6 +385,13 @@ def make_decoder(
             (sharing_type is None or sharing_type == 0):
         raise ValueError("per-edge (type 0) weights need the general "
                          "engine; omit qc= or use sharing types 1-4")
+    if per_layer and (qc is None or not layered):
+        raise ValueError("per_layer weights need a QC layered decoder "
+                         "(layers are base rows); pass qc= and "
+                         "layered=True")
+    if per_layer and kind in ("ms", "rcq"):
+        raise ValueError("per_layer needs a weighted kind "
+                         "('nms'/'oms'/'wrcq'/'orcq')")
     graph = graph if graph is not None else build_graph(code)
     T = max_iterations if max_iterations is not None else code.max_iterations
     key = jax.random.PRNGKey(seed)
@@ -416,6 +431,18 @@ def make_decoder(
                   else _bucket_wiring(graph, st, offset_style))
         (beta_idx, n_beta, alpha_idx, n_alpha,
          fixed_beta, fixed_alpha, alpha_in_cn) = wiring
+        if per_layer:
+            # expand bucket universes to (base row x degree bucket): a
+            # block's weight is keyed by its LAYER as well as its degree
+            row = np.asarray(qc.block_row, dtype=np.int32)
+            if beta_idx is not None:
+                beta_idx = row * n_beta + np.asarray(beta_idx,
+                                                     dtype=np.int32)
+                n_beta *= qc.mb
+            if alpha_idx is not None:
+                alpha_idx = row * n_alpha + np.asarray(alpha_idx,
+                                                       dtype=np.int32)
+                n_alpha *= qc.mb
         engine_kind = {"nms": "nms", "oms": "oms", "wrcq": "wrcq",
                        "orcq": "orcq"}[kind]
         spec = VariantSpec(
@@ -450,6 +477,8 @@ def make_decoder(
                 "oms": "N-OMS" if st == 0 else f"N-2D-OMS(t{st})",
                 "wrcq": f"W-RCQ(t{st},bc={bc})",
                 "orcq": f"W-OMS-RCQ(t{st},bc={bc})"}[kind]
+        if per_layer:
+            base += "+perlayer"
         dname = name or base
 
     layer_checks = (make_layers(graph, num_layers)
@@ -465,7 +494,7 @@ def make_decoder(
         v2c_quantizer_params=(None if v2c_quantizer_params is None
                               else [list(p) for p in v2c_quantizer_params]),
         layered=layered, num_layers=num_layers, init=init, seed=seed,
-        name=dname, bucketed=bucketed)
+        name=dname, bucketed=bucketed, per_layer=per_layer)
     return Decoder(
         name=dname, code=code, graph=graph, spec=spec, max_iterations=T,
         weights=weights, layered=layered, layer_checks=layer_checks, qc=qc,

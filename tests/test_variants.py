@@ -135,3 +135,56 @@ def test_success_implies_valid_codeword(mid_code, make):
     syndrome = (mid_code.H.astype(np.int64) @ bits.T) % 2
     valid = (syndrome.sum(axis=0) == 0)
     np.testing.assert_array_equal(ok, valid)
+
+
+def test_per_layer_weight_sharing():
+    """per_layer=True keys weight buckets by (base row, degree bucket):
+    param count multiplies by mb, and with every layer's weights set
+    EQUAL the decoder is bit-identical to the plain shared one."""
+    import dataclasses
+
+    import jax
+    from ldpc_tpu.channel import awgn_llr
+    from ldpc_tpu.decode.qc_engine import build_qc_graph
+
+    rng = np.random.default_rng(2)
+    lift = 16
+    base = rng.integers(0, lift, size=(3, 8))
+    code = ldpc_tpu.create_qc_code(base, lift=lift, max_iterations=5)
+    qc = build_qc_graph(base, lift)
+
+    shared = ldpc_tpu.make_decoder(
+        code, kind="orcq", bc=3, sharing_type=2, max_iterations=5, qc=qc,
+        layered=True, seed=4)
+    per = ldpc_tpu.make_decoder(
+        code, kind="orcq", bc=3, sharing_type=2, max_iterations=5, qc=qc,
+        layered=True, seed=4, per_layer=True)
+    mb = base.shape[0]
+    assert per.weights["beta"].shape[1] == mb * shared.weights["beta"].shape[1]
+    assert per.weights["alpha"].shape[1] == \
+        mb * shared.weights["alpha"].shape[1]
+    assert per.param_count() == mb * shared.param_count()
+
+    # tile the shared weights across layers -> identical decode
+    tiled = {k: jnp.tile(w, (1, mb)) for k, w in shared.weights.items()}
+    per_eq = dataclasses.replace(per, weights=tiled)
+    llr = awgn_llr(jax.random.PRNGKey(1), jnp.zeros((32, code.n)), 2.0)
+    a, b = shared(llr), per_eq(llr)
+    np.testing.assert_array_equal(np.asarray(a.bits), np.asarray(b.bits))
+    np.testing.assert_allclose(np.asarray(a.posterior),
+                               np.asarray(b.posterior), rtol=1e-6)
+
+    # the fused layered kernel resolves per-(row,degree) buckets too
+    fused = dataclasses.replace(
+        per_eq, qc_options={"fused": True, "batch_tile": 16,
+                            "interpret": True, "dtype": jnp.float32})
+    np.testing.assert_array_equal(np.asarray(fused(llr).bits),
+                                  np.asarray(a.bits))
+
+    # validation: per_layer needs QC layered + a weighted kind
+    with pytest.raises(ValueError):
+        ldpc_tpu.make_decoder(code, kind="orcq", bc=3, sharing_type=2,
+                              max_iterations=5, qc=qc, per_layer=True)
+    with pytest.raises(ValueError):
+        ldpc_tpu.make_decoder(code, kind="rcq", bc=3, max_iterations=5,
+                              qc=qc, layered=True, per_layer=True)
