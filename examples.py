@@ -259,6 +259,35 @@ def example_zoo():
           f"{int(np.asarray(out.success).sum())}/16 converged at T=5")
 
 
+def example_design():
+    """Quantizer-ladder design by density evolution (ldpc_tpu.design)."""
+    import numpy as np
+
+    import ldpc_tpu
+    from ldpc_tpu.design import (analyze_decoder, degree_profile_from_base,
+                                 design_rcq_ladders)
+    from ldpc_tpu.decode.qc_engine import build_qc_graph
+
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 64, size=(4, 16))
+    prof = degree_profile_from_base(base)
+    qp, vqp, res = design_rcq_ladders(prof, bc=3, bv=8, max_iterations=8,
+                                      snr_db=5.0, phases=3, passes=0)
+    print(f"  designed CN ladder {[c for c, _ in qp]} @gamma 1.3, "
+          f"V2C {[c for c, _ in vqp]}; DE threshold "
+          f"{res.threshold_db:.2f} dB")
+
+    code = ldpc_tpu.create_qc_code(base, lift=64, max_iterations=8)
+    qc = build_qc_graph(base, 64)
+    dec = ldpc_tpu.make_decoder(code, kind="rcq", bc=3, bv=8,
+                                quantizer_params=qp,
+                                v2c_quantizer_params=vqp,
+                                max_iterations=8, qc=qc, layered=True)
+    r = analyze_decoder(dec, snr_db=5.0)
+    print(f"  layered DE trajectory of the built decoder: "
+          f"{[float(f'{e:.2g}') for e in r.error_prob]}")
+
+
 SCENARIOS = {
     "basic": example_basic_decoding,
     "neural": example_neural_decoders,
@@ -273,6 +302,7 @@ SCENARIOS = {
     "weights": example_weight_analysis,
     "checkpoint": example_checkpointing,
     "zoo": example_zoo,
+    "design": example_design,
 }
 
 

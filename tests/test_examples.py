@@ -35,3 +35,11 @@ def test_examples_rejects_unknown():
     r = _run(["examples.py", "nonsense"])
     assert r.returncode == 1
     assert "unknown scenario" in r.stdout
+
+
+def test_examples_design_scenario():
+    r = _run(["-c",
+              "import jax; jax.config.update('jax_platforms','cpu');"
+              "import examples; examples.SCENARIOS['design']()"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "DE threshold" in r.stdout and "trajectory" in r.stdout
