@@ -98,3 +98,33 @@ def test_engine_vs_cpu_reference_decode():
                                   np.asarray(cpu_out.bits))
     np.testing.assert_array_equal(np.asarray(dev_out.success),
                                   np.asarray(cpu_out.success))
+
+
+def test_natural_layout_and_lean_on_chip():
+    """Mosaic lowering of the natural [B, n] IO layout (lane-offset
+    slices) and the lean int8 epilogue — the interpret-only coverage gap
+    that keeps natural opt-in. f32 exactness vs the block layout."""
+    T = 6
+    code, qc, dec = _setup(2, 6, 128, T, seed=3, kind="rcq", bc=3, bv=8,
+                           quantizer_params=((2.0, 1.3), (4.0, 1.3),
+                                             (6.0, 1.3)),
+                           v2c_quantizer_params=((4.0, 1.0), (8.0, 1.0),
+                                                 (12.0, 1.0)))
+    llr = awgn_llr(jax.random.PRNGKey(5), jnp.zeros((128, code.n)), 3.0)
+    for fn in (qc_fused_decode_batch, qc_fused_decode_batch_layered):
+        blk = fn(llr, dec.weights, qc=qc, spec=dec.spec, max_iterations=T,
+                 dtype=jnp.float32, batch_tile=64, natural=False)
+        nat = fn(llr, dec.weights, qc=qc, spec=dec.spec, max_iterations=T,
+                 dtype=jnp.float32, batch_tile=64, natural=True)
+        np.testing.assert_array_equal(np.asarray(nat.bits),
+                                      np.asarray(blk.bits))
+        np.testing.assert_array_equal(np.asarray(nat.success),
+                                      np.asarray(blk.success))
+        np.testing.assert_array_equal(np.asarray(nat.posterior),
+                                      np.asarray(blk.posterior))
+        lean = fn(llr, dec.weights, qc=qc, spec=dec.spec, max_iterations=T,
+                  dtype=jnp.float32, batch_tile=64, natural=True,
+                  lean=True)
+        assert lean.posterior is None and lean.bits.dtype == jnp.int8
+        np.testing.assert_array_equal(np.asarray(lean.bits),
+                                      np.asarray(blk.bits))
