@@ -292,7 +292,19 @@ def _make_kernel(qc: QCGraph, spec: VariantSpec, T: int, bt: int, dtype,
     return kernel
 
 
-def _result_epilogue(post_out, fail, Bsz, n, T, lean, natural):
+def _pad_batch(llr, bt):
+    """Pad the batch up to a multiple of the tile with zero-LLR frames
+    (decoded as garbage, sliced away by ``_result_epilogue``) so callers
+    can pass ANY batch size to the fused kernels."""
+    B = llr.shape[0]
+    pad = (-B) % bt
+    if pad:
+        llr = jnp.concatenate(
+            [llr, jnp.zeros((pad, llr.shape[1]), llr.dtype)], axis=0)
+    return llr, B
+
+
+def _result_epilogue(post_out, fail, Bsz, n, T, lean, natural, true_B):
     """Shared XLA epilogue over the kernel's posterior/fail outputs.
 
     ``natural=True`` means the kernel already wrote the posterior in
@@ -306,11 +318,14 @@ def _result_epilogue(post_out, fail, Bsz, n, T, lean, natural):
     path's ~78 MB; the simulator and the headline bench only ever consume
     bits/success/iterations."""
     ok = ~jnp.any(fail[0] > 0, axis=-1)  # in-kernel syndrome
-    iters = jnp.full((Bsz,), T, jnp.int32)
+    iters = jnp.full((true_B,), T, jnp.int32)
     if natural:
         post = post_out                                   # already [B, n]
     else:
         post = post_out.transpose(1, 0, 2).reshape(Bsz, n)
+    if true_B != Bsz:  # drop the zero-LLR padding frames
+        post = post[:true_B]
+        ok = ok[:true_B]
     if lean:
         bits = (post < 0).astype(jnp.int8)
         return DecodeResult(bits=bits, posterior=None,
@@ -341,19 +356,18 @@ def qc_fused_decode_batch(
     Contract == ``qc_decode_batch(..., check_every=max_iterations)``:
     bits/posterior from the final iteration, ``success`` = final syndrome,
     ``iterations`` = T for every frame. ``batch_tile`` codewords are
-    decoded per grid step with the full message state VMEM-resident; B
-    must be divisible by it. ``lean=True`` skips the [B, n] posterior
+    decoded per grid step with the full message state VMEM-resident;
+    batches that do not divide are zero-padded up and sliced back. ``lean=True`` skips the [B, n] posterior
     materialization and returns int8 bits (see ``_result_epilogue``).
     ``natural=True`` (requires ``lift % 128 == 0``) streams llr/posterior in
     their [B, n] layout — no XLA-side layout transposes at either end.
     """
     T = max_iterations
-    Bsz, n = llr.shape
+    true_B, n = llr.shape
     if batch_tile is None:
-        batch_tile = max_batch_tile(qc, layered=False, dtype=dtype,
-                                    batch=Bsz)
-    if Bsz % batch_tile:
-        raise ValueError(f"batch {Bsz} not divisible by tile {batch_tile}")
+        batch_tile = max_batch_tile(qc, layered=False, dtype=dtype)
+    llr, true_B = _pad_batch(llr, batch_tile)
+    Bsz = llr.shape[0]
     L = qc.lift
     NB = qc.num_blocks
     bt = batch_tile
@@ -427,7 +441,8 @@ def qc_fused_decode_batch(
     )(llr_in, beta_tab.astype(jnp.float32),
       alpha_tab.astype(jnp.float32), thr, qp, vthr, vqp)
 
-    return _result_epilogue(post_out, fail, Bsz, n, T, lean, natural)
+    return _result_epilogue(post_out, fail, Bsz, n, T, lean, natural,
+                            true_B)
 
 
 def _make_layered_kernel(qc: QCGraph, spec: VariantSpec, T: int, bt: int,
@@ -580,12 +595,11 @@ def qc_fused_decode_batch_layered(
     replaces a T=10 flooding one.
     """
     T = max_iterations
-    Bsz, n = llr.shape
+    true_B, n = llr.shape
     if batch_tile is None:
-        batch_tile = max_batch_tile(qc, layered=True, dtype=dtype,
-                                    batch=Bsz)
-    if Bsz % batch_tile:
-        raise ValueError(f"batch {Bsz} not divisible by tile {batch_tile}")
+        batch_tile = max_batch_tile(qc, layered=True, dtype=dtype)
+    llr, true_B = _pad_batch(llr, batch_tile)
+    Bsz = llr.shape[0]
     L = qc.lift
     NB = qc.num_blocks
     bt = batch_tile
@@ -655,4 +669,5 @@ def qc_fused_decode_batch_layered(
     )(llr_in, beta_tab.astype(jnp.float32),
       alpha_tab.astype(jnp.float32), thr, qp, vthr, vqp)
 
-    return _result_epilogue(post_out, fail, Bsz, n, T, lean, natural)
+    return _result_epilogue(post_out, fail, Bsz, n, T, lean, natural,
+                            true_B)

@@ -92,10 +92,12 @@ def test_fused_rejects_bad_tile_and_vmem():
     T = 4
     code, qc, dec = _setup(2, 4, 16, T, base_seed=2, kind="ms")
     llr = jnp.zeros((64, code.n))
-    with pytest.raises(ValueError):
-        qc_fused_decode_batch(llr, dec.weights, qc=qc, spec=dec.spec,
-                              max_iterations=T, batch_tile=48,
-                              interpret=True)
+    # a non-dividing tile no longer raises: the batch zero-pads up (to
+    # 96 here) and the outputs slice back to the true batch
+    out = qc_fused_decode_batch(llr, dec.weights, qc=qc, spec=dec.spec,
+                                max_iterations=T, batch_tile=48,
+                                interpret=True)
+    assert out.bits.shape == (64, code.n)
 
 
 def test_decoder_fused_option_interpret():
@@ -294,3 +296,28 @@ def test_natural_layout_matches_block_layout():
         assert lean.posterior is None
         np.testing.assert_array_equal(np.asarray(lean.bits),
                                       np.asarray(blockl.bits))
+
+
+def test_arbitrary_batch_sizes_are_padded():
+    """Any batch size works: non-multiples of the tile are zero-padded
+    internally and sliced back out."""
+    from ldpc_tpu.decode.pallas_fused import qc_fused_decode_batch_layered
+
+    T = 3
+    code, qc, dec = _setup(2, 5, 16, T, base_seed=8, kind="rcq", bc=3)
+    llr = awgn_llr(jax.random.PRNGKey(2), jnp.zeros((37, code.n)), 2.0)
+    for fn in (qc_fused_decode_batch, qc_fused_decode_batch_layered):
+        out = fn(llr, dec.weights, qc=qc, spec=dec.spec, max_iterations=T,
+                 dtype=jnp.float32, batch_tile=16, interpret=True)
+        assert out.bits.shape == (37, code.n)
+        assert out.success.shape == (37,) and out.iterations.shape == (37,)
+        # the padded run must agree with a tile-aligned run on the same
+        # frames
+        llr48 = jnp.concatenate([llr, llr[:11]], axis=0)
+        ref = fn(llr48, dec.weights, qc=qc, spec=dec.spec,
+                 max_iterations=T, dtype=jnp.float32, batch_tile=16,
+                 interpret=True)
+        np.testing.assert_array_equal(np.asarray(out.bits),
+                                      np.asarray(ref.bits)[:37])
+        np.testing.assert_array_equal(np.asarray(out.success),
+                                      np.asarray(ref.success)[:37])
