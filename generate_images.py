@@ -141,3 +141,82 @@ def generate_deep_fer_figure(out_dir: str = "images",
     if verbose:
         print(f"wrote {path}")
     return path
+
+
+def generate_de_figure(out_dir: str = "images", verbose: bool = True):
+    """Density-evolution analysis figure (pure CPU, ldpc_tpu.design):
+
+    left — layered vs flooding per-edge DE trajectories on the bench
+    protograph (the measured ~2x schedule speedup, RESULTS §17);
+    right — PBRL rate-1/3 deep behavior vs SNR for the bc=3 bench ladder
+    (degree-1 clipping plateau) against two bc=4 ladders (floor removed).
+    Okabe-Ito colorblind-safe hues in fixed order; one axis per panel.
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    import ldpc_tpu
+    from ldpc_tpu.design.proto_dde import protograph_density_evolution as pde
+
+    C = ["#0072B2", "#E69F00", "#009E73", "#CC79A7"]  # Okabe-Ito subset
+    RCQ3 = dict(kind="rcq", bc=3,
+                quantizer_params=((2.0, 1.3), (4.0, 1.3), (6.0, 1.3)),
+                bv=8,
+                v2c_quantizer_params=((4.0, 1.0), (8.0, 1.0), (12.0, 1.0)))
+
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(10.5, 4.2))
+
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 256, size=(5, 37))
+    fl = pde(base, schedule="flooding", snr_db=6.4, max_iterations=8, **RCQ3)
+    la = pde(base, schedule="layered", snr_db=6.4, max_iterations=8, **RCQ3)
+    eps = 1e-16
+    ax1.semilogy(np.arange(1, 9), np.maximum(fl.error_prob, eps), "o-",
+                 color=C[0], label="flooding")
+    ax1.semilogy(np.arange(1, 9), np.maximum(la.error_prob, eps), "s-",
+                 color=C[1], label="layered")
+    ax1.set_xlabel("iteration")
+    ax1.set_ylabel("DE bit-error probability")
+    ax1.set_title("Protograph DE, bench (9472, 8192) base @ 6.4 dB\n"
+                  "layered reaches 1e-5 in half the iterations")
+    ax1.grid(True, which="both", alpha=0.3)
+    ax1.legend(fontsize=9)
+
+    B, lift = ldpc_tpu.create_pbrl_qc_protograph(k=1032, rate=1 / 3,
+                                                 lift=86)
+    snrs = np.arange(2.0, 4.01, 0.5)
+    VQ = dict(bv=8, v2c_quantizer_params=((4.0, 1.0), (8.0, 1.0),
+                                          (12.0, 1.0)))
+    arms = [
+        ("bc=3, 2-4-6@1.3 (bench ladder)", C[0], "o",
+         dict(kind="rcq", bc=3,
+              quantizer_params=((2.0, 1.3), (4.0, 1.3), (6.0, 1.3)), **VQ)),
+        ("bc=4, 6-11-16@1.3 (on-code sweep)", C[1], "s",
+         dict(kind="rcq", bc=4,
+              quantizer_params=((6.0, 1.3), (11.0, 1.3), (16.0, 1.3)),
+              **VQ)),
+        ("bc=4, 3-6-12@1.3 (DE pick)", C[2], "^",
+         dict(kind="rcq", bc=4,
+              quantizer_params=((3.0, 1.3), (6.0, 1.3), (12.0, 1.3)), **VQ)),
+    ]
+    for label, color, marker, kw in arms:
+        errs = [max(float(pde(B, schedule="layered", snr_db=s,
+                               max_iterations=12, **kw).error_prob[-1]),
+                    eps) for s in snrs]
+        ax2.semilogy(snrs, errs, marker=marker, color=color, label=label)
+    ax2.set_xlabel("SNR (dB)")
+    ax2.set_ylabel("DE bit-error probability (12 iters)")
+    ax2.set_title("PBRL (3096, 1032) ensemble: degree-1 clipping\n"
+                  "plateaus bc=3; bc=4 range removes it (RESULTS §17)")
+    ax2.grid(True, which="both", alpha=0.3)
+    ax2.legend(fontsize=8)
+
+    path = os.path.join(out_dir, "de_analysis.png")
+    fig.tight_layout()
+    fig.savefig(path, dpi=130)
+    plt.close(fig)
+    if verbose:
+        print(f"wrote {path}")
+    return path
