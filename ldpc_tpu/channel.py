@@ -16,7 +16,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["bpsk_modulate", "awgn_llr", "simulate_awgn_channel"]
+__all__ = ["bpsk_modulate", "awgn_llr", "simulate_awgn_channel",
+           "puncture_llr"]
 
 
 def bpsk_modulate(bits: jnp.ndarray) -> jnp.ndarray:
@@ -58,3 +59,13 @@ def simulate_awgn_channel(
     """Reference-named convenience wrapper (``ldpc_decoder.py:286``), single
     codeword, explicit RNG key."""
     return awgn_llr(key, codeword, snr_db)
+
+
+def puncture_llr(llr: jnp.ndarray, positions) -> jnp.ndarray:
+    """Zero the channel LLRs at punctured bit POSITIONS (not transmitted;
+    the decoder recovers them from the code structure alone — standard
+    rate-compatible/PBRL practice). The effective transmitted rate is
+    ``k / (n - len(positions))``."""
+    mask = jnp.ones((llr.shape[-1],), llr.dtype).at[
+        jnp.asarray(positions)].set(0.0)
+    return llr * mask

@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ldpc_tpu.channel import awgn_llr
+from ldpc_tpu.channel import awgn_llr, puncture_llr
 from ldpc_tpu.decode.variants import Decoder
 
 logger = logging.getLogger(__name__)
@@ -76,6 +76,9 @@ class SimulationConfig:
     # check_every equals early_exit_iters (enforced). QC decoders only.
     stage1_fused: bool = False
     stage1_batch_tile: int = 64
+    # bit positions transmitted with no channel observation (punctured,
+    # LLR 0) — rate-compatible/PBRL simulation; single-device waves only
+    punctured_positions: Optional[Tuple[int, ...]] = None
 
     def snr_points(self) -> np.ndarray:
         lo, hi = self.snr_range
@@ -136,7 +139,8 @@ class SimulationResult:
         return r
 
 
-def _make_wave_fn(decoder: Decoder, wave_size: int, mesh=None):
+def _make_wave_fn(decoder: Decoder, wave_size: int, mesh=None,
+                  punctured=None):
     """Build the jitted one-wave kernel: key, snr, weights ->
     (frame_errors, bit_errors, iter_sum, success_count), all scalars.
 
@@ -156,6 +160,8 @@ def _make_wave_fn(decoder: Decoder, wave_size: int, mesh=None):
     def wave(key, snr_db, weights):
         zeros = jnp.zeros((wave_size, n), jnp.float32)
         llr = awgn_llr(key, zeros, snr_db)
+        if punctured is not None:
+            llr = puncture_llr(llr, punctured)
         out = decoder(llr, weights)
         bit_err_per_frame = jnp.sum(out.bits, axis=-1)        # wrong bits
         frame_err = jnp.sum(bit_err_per_frame > 0)
@@ -170,7 +176,8 @@ def _make_wave_fn(decoder: Decoder, wave_size: int, mesh=None):
 def _make_compacting_wave_fn(decoder: Decoder, wave_size: int,
                              early_iters: int, survivor_budget: int,
                              stage1_fused: bool = False,
-                             stage1_batch_tile: int = 64):
+                             stage1_batch_tile: int = 64,
+                             punctured=None):
     """Two-stage wave with survivor compaction (see ``SimulationConfig``).
 
     Returns a callable with the same (key, snr, weights) -> 4-scalar
@@ -248,6 +255,8 @@ def _make_compacting_wave_fn(decoder: Decoder, wave_size: int,
         def full_fn(key, snr_db, weights):
             llr = awgn_llr(key, jnp.zeros((wave_size, n), jnp.float32),
                            snr_db)
+            if punctured is not None:
+                llr = puncture_llr(llr, punctured)
             out1 = short(llr, _cut(weights))
             out2 = decoder(llr, weights)
             conv = out1.success
@@ -258,7 +267,7 @@ def _make_compacting_wave_fn(decoder: Decoder, wave_size: int,
             return (jnp.sum(wrong > 0), jnp.sum(wrong), jnp.sum(iters),
                     jnp.sum(succ))
     else:
-        full_fn = _make_wave_fn(decoder, wave_size)
+        full_fn = _make_wave_fn(decoder, wave_size, punctured=punctured)
 
     @jax.jit
     def fused(key, snr_db, weights):
@@ -273,6 +282,8 @@ def _make_compacting_wave_fn(decoder: Decoder, wave_size: int,
         TPU compiler, and replaces the old 3 host round-trips per wave.
         """
         llr = awgn_llr(key, jnp.zeros((wave_size, n), jnp.float32), snr_db)
+        if punctured is not None:
+            llr = puncture_llr(llr, punctured)
         out = short(llr, _cut(weights))
         conv = out.success
         wrong = jnp.sum(out.bits, axis=-1)
@@ -309,6 +320,10 @@ def _make_compacting_wave_fn(decoder: Decoder, wave_size: int,
 
 
 def _build_wave(decoder: Decoder, config: "SimulationConfig", mesh=None):
+    punct = config.punctured_positions
+    if punct is not None and mesh is not None:
+        raise NotImplementedError(
+            "punctured_positions is single-device for now; drop the mesh")
     if config.early_exit_iters is not None:
         budget = (config.survivor_budget if config.survivor_budget is not None
                   else max(1, config.wave_size // 4))
@@ -322,8 +337,9 @@ def _build_wave(decoder: Decoder, config: "SimulationConfig", mesh=None):
         return _make_compacting_wave_fn(decoder, config.wave_size,
                                         config.early_exit_iters, budget,
                                         config.stage1_fused,
-                                        config.stage1_batch_tile)
-    return _make_wave_fn(decoder, config.wave_size, mesh)
+                                        config.stage1_batch_tile,
+                                        punctured=punct)
+    return _make_wave_fn(decoder, config.wave_size, mesh, punctured=punct)
 
 
 def simulate_single_snr(
