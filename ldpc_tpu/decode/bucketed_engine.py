@@ -130,7 +130,8 @@ def _perm_weights(spec: VariantSpec, order: np.ndarray):
 
 
 @partial(jax.jit, static_argnames=("bg", "spec", "max_iterations", "ste",
-                                   "return_trajectory", "check_every"))
+                                   "return_trajectory", "check_every",
+                                   "dtype"))
 def bucketed_decode_batch(
     llr: jnp.ndarray,            # [B, n]
     weights,                     # {'beta': [T, n_beta], 'alpha': [T, n_alpha]}
@@ -141,9 +142,16 @@ def bucketed_decode_batch(
     ste: bool = False,
     return_trajectory: bool = False,
     check_every: int = 1,
+    dtype=jnp.float32,
 ) -> DecodeResult:
     """Flooding decode via degree buckets; contract == ``decode_batch``
-    (with ``check_every`` freezing granularity as in ``qc_decode_batch``)."""
+    (with ``check_every`` freezing granularity as in ``qc_decode_batch``).
+
+    ``dtype`` is the MESSAGE-STATE dtype: the two [E, B] permutations per
+    iteration and the scan carry move in it (bf16 halves the dominant
+    data movement — the open bucketed-engine perf thread), while all CN/VN
+    arithmetic widens to float32 first. f32 (default) is bit-exact with
+    ``decode_batch``."""
     T = max_iterations
     if T % check_every:
         raise ValueError(f"check_every={check_every} must divide T={T}")
@@ -171,7 +179,7 @@ def bucketed_decode_batch(
         return jnp.concatenate(parts, axis=0)  # [E, B] VN-sorted
 
     llr_e_vn = llr_rows_vn()
-    v2c_cn0 = llr_e_vn[vn_to_cn]  # CN-sorted initial messages
+    v2c_cn0 = llr_e_vn.astype(dtype)[vn_to_cn]  # CN-sorted initial msgs
 
     def cn_update(v2c_cn, x, qdq):
         """All CN buckets; returns c2v in CN-sorted order."""
@@ -179,7 +187,7 @@ def bucketed_decode_batch(
         coff = 0  # check offset within the sorted-check sequence
         for d, cnt, off in bg.cn_buckets:
             blk = jax.lax.slice_in_dim(v2c_cn, off, off + cnt * d)
-            msgs = blk.reshape(cnt, d, B)
+            msgs = blk.reshape(cnt, d, B).astype(jnp.float32)
             mag = jnp.abs(msgs)
             min1 = jnp.min(mag, axis=1)
             argmin = jnp.argmin(mag, axis=1)
@@ -234,7 +242,7 @@ def bucketed_decode_batch(
         voff = 0
         for d, cnt, off in bg.vn_buckets:
             blk = jax.lax.slice_in_dim(c2v_vn, off, off + cnt * d)
-            msgs = blk.reshape(cnt, d, B)
+            msgs = blk.reshape(cnt, d, B).astype(jnp.float32)
             colsum = jnp.sum(msgs, axis=1)                     # [cnt, B]
             rows = jax.lax.slice_in_dim(llr_s, voff, voff + cnt)
             post_parts.append(rows + colsum)
@@ -287,9 +295,9 @@ def bucketed_decode_batch(
             qdq = _make_qdq(spec, x, ste, v2c=False)
             vqdq = _make_qdq(spec, x, ste, v2c=True)
             c2v_cn = cn_update(v2c_cn, x, qdq)
-            c2v_vn = c2v_cn[cn_to_vn]
+            c2v_vn = c2v_cn.astype(dtype)[cn_to_vn]
             v2c_vn, post_s = vn_update(c2v_vn, x, vqdq)
-            v2c_cn = v2c_vn[vn_to_cn]
+            v2c_cn = v2c_vn.astype(dtype)[vn_to_cn]
             ys = post_s[inv_var].T if return_trajectory else None
             return (v2c_cn, post_s), ys
 

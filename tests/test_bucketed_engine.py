@@ -87,3 +87,32 @@ def test_decoder_bucketed_option(mid_code):
     with pytest.raises(ValueError):
         ldpc_tpu.make_decoder(mid_code, kind="ms", bucketed=True,
                               layered=True)
+
+
+def test_bucketed_bf16_message_state():
+    """dtype=bfloat16 moves the [E,B] permutations/carry in bf16 with f32
+    arithmetic: hard outputs stay sane (success parity within a couple of
+    frames of the f32 run at a workable SNR; f32 default is the exact
+    contract pinned by the other tests)."""
+    import jax
+
+    import ldpc_tpu
+    from ldpc_tpu.channel import awgn_llr
+
+    from ldpc_tpu.codes import build_graph
+    code = ldpc_tpu.create_pbrl_like_code(k=86, rate=1 / 3, seed=0,
+                                          max_iterations=8)
+    graph = build_graph(code)
+    bg = build_bucketed_graph(graph)
+    dec = ldpc_tpu.make_decoder(code, kind="rcq", bc=3, bv=8,
+                                max_iterations=8)
+    llr = awgn_llr(jax.random.PRNGKey(0), jnp.zeros((64, code.n)), 3.0)
+    f32 = bucketed_decode_batch(llr, dec.weights, bg=bg, spec=dec.spec,
+                                max_iterations=8)
+    b16 = bucketed_decode_batch(llr, dec.weights, bg=bg, spec=dec.spec,
+                                max_iterations=8, dtype=jnp.bfloat16)
+    ok32 = int(jnp.sum(f32.success))
+    ok16 = int(jnp.sum(b16.success))
+    assert abs(ok32 - ok16) <= 3
+    agree = float(jnp.mean(b16.bits == f32.bits))
+    assert agree > 0.99
