@@ -33,7 +33,6 @@ operating point (a few sigma above ``B * FER_t1``).
 from __future__ import annotations
 
 import dataclasses
-import math
 
 import jax
 import jax.numpy as jnp
@@ -50,8 +49,8 @@ def make_two_checkpoint_decoder(decoder, *, t1: int, survivor_budget: int):
     ``decoder`` should be a fused-kernel QC decoder
     (``qc_options={'fused': True, ...}``) — the configuration whose
     syndrome schedule is {T}; any Decoder whose ``truncated(t1)`` is valid
-    works. ``survivor_budget`` is static (one compiled program); stage 2's
-    batch tile is shrunk to divide it.
+    works. ``survivor_budget`` is static (one compiled program); any
+    budget works — the fused kernels zero-pad batches up to their tile.
     """
     T = decoder.max_iterations
     if not 0 < t1 < T:
@@ -69,11 +68,9 @@ def make_two_checkpoint_decoder(decoder, *, t1: int, survivor_budget: int):
     opts.pop("unroll", None)
     short = dataclasses.replace(decoder, qc_options=None).truncated(t1)
     short = dataclasses.replace(short, qc_options=opts or None)
-    if opts.get("batch_tile"):
-        s2_opts = dict(opts, batch_tile=math.gcd(S, opts["batch_tile"]))
-    else:
-        s2_opts = opts or None
-    full = dataclasses.replace(decoder, qc_options=s2_opts)
+    # stage 2's batch is the survivor budget; the fused kernels zero-pad
+    # any batch up to the tile, so the parent's tile is kept as-is
+    full = dataclasses.replace(decoder, qc_options=opts or None)
 
     def _cut(w):
         return jax.tree_util.tree_map(lambda a: a[:t1], w)

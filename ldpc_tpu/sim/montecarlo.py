@@ -221,16 +221,11 @@ def _make_compacting_wave_fn(decoder: Decoder, wave_size: int,
         # decoder in its own right; the equivalent single program is
         # "decode everyone at T1, decode everyone at T, select by the T1
         # syndrome" (tests/test_sim.py builds exactly that comparator).
-        import math
-
         short = _dc.replace(decoder, qc_options=None).truncated(T1)
         short = _dc.replace(short, qc_options=_fuse_opts(parent_opts))
-        # stage 2 decodes only the S survivor rows: its batch tile must
-        # divide the budget
-        s2_opts = _fuse_opts(parent_opts)
-        s2_opts["batch_tile"] = math.gcd(survivor_budget,
-                                         s2_opts["batch_tile"])
-        decoder = _dc.replace(decoder, qc_options=s2_opts)
+        # stage 2 decodes only the S survivor rows (the fused kernels
+        # zero-pad any batch up to the tile, so the tile is kept)
+        decoder = _dc.replace(decoder, qc_options=_fuse_opts(parent_opts))
     else:
         short = decoder.truncated(early_iters)
         if stage1_fused:
