@@ -160,6 +160,7 @@ def generate_de_figure(out_dir: str = "images", verbose: bool = True):
     import ldpc_tpu
     from ldpc_tpu.design.proto_dde import protograph_density_evolution as pde
 
+    os.makedirs(out_dir, exist_ok=True)
     C = ["#0072B2", "#E69F00", "#009E73", "#CC79A7"]  # Okabe-Ito subset
     RCQ3 = dict(kind="rcq", bc=3,
                 quantizer_params=((2.0, 1.3), (4.0, 1.3), (6.0, 1.3)),

@@ -66,6 +66,10 @@ def puncture_llr(llr: jnp.ndarray, positions) -> jnp.ndarray:
     the decoder recovers them from the code structure alone — standard
     rate-compatible/PBRL practice). The effective transmitted rate is
     ``k / (n - len(positions))``."""
+    import numpy as np
+    positions = np.asarray(positions, dtype=np.int32)
+    if positions.size == 0:
+        return llr
     mask = jnp.ones((llr.shape[-1],), llr.dtype).at[
         jnp.asarray(positions)].set(0.0)
     return llr * mask

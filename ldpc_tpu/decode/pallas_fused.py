@@ -365,7 +365,10 @@ def qc_fused_decode_batch(
     T = max_iterations
     true_B, n = llr.shape
     if batch_tile is None:
-        batch_tile = max_batch_tile(qc, layered=False, dtype=dtype)
+        # cap the auto tile at the (8-rounded) batch: a 8-frame call must
+        # not pad up to the max VMEM-fitting tile and decode garbage
+        batch_tile = min(max_batch_tile(qc, layered=False, dtype=dtype),
+                         -(-true_B // 8) * 8)
     llr, true_B = _pad_batch(llr, batch_tile)
     Bsz = llr.shape[0]
     L = qc.lift
@@ -597,7 +600,10 @@ def qc_fused_decode_batch_layered(
     T = max_iterations
     true_B, n = llr.shape
     if batch_tile is None:
-        batch_tile = max_batch_tile(qc, layered=True, dtype=dtype)
+        # cap the auto tile at the (8-rounded) batch: a 8-frame call must
+        # not pad up to the max VMEM-fitting tile and decode garbage
+        batch_tile = min(max_batch_tile(qc, layered=True, dtype=dtype),
+                         -(-true_B // 8) * 8)
     llr, true_B = _pad_batch(llr, batch_tile)
     Bsz = llr.shape[0]
     L = qc.lift

@@ -227,10 +227,15 @@ class Decoder:
                     return_trajectory=return_trajectory, **opts)
         elif self.bucketed_graph is not None:
             from ldpc_tpu.decode.bucketed_engine import bucketed_decode_batch
+            opts = dict(self.qc_options or {})
+            bopts = {k: opts[k] for k in ("dtype", "check_every")
+                     if k in opts}
+            if ste or return_trajectory:
+                bopts.pop("dtype", None)  # training keeps f32 messages
             out = bucketed_decode_batch(
                 llr, w, bg=self.bucketed_graph, spec=self.spec,
                 max_iterations=self.max_iterations, ste=ste,
-                return_trajectory=return_trajectory)
+                return_trajectory=return_trajectory, **bopts)
         else:
             out = decode_batch(
                 llr, w, graph=self.graph, spec=self.spec,

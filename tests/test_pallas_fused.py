@@ -88,7 +88,7 @@ def test_fused_row_regular_full_base():
                                rtol=1e-6, atol=1e-5)
 
 
-def test_fused_rejects_bad_tile_and_vmem():
+def test_fused_pads_bad_tile_and_rejects_vmem():
     T = 4
     code, qc, dec = _setup(2, 4, 16, T, base_seed=2, kind="ms")
     llr = jnp.zeros((64, code.n))
@@ -98,6 +98,16 @@ def test_fused_rejects_bad_tile_and_vmem():
                                 max_iterations=T, batch_tile=48,
                                 interpret=True)
     assert out.bits.shape == (64, code.n)
+    # the scoped-VMEM budget guard still rejects oversized tiles
+    with pytest.raises(ValueError, match="VMEM"):
+        qc_fused_decode_batch(llr, dec.weights, qc=qc, spec=dec.spec,
+                              max_iterations=T, batch_tile=4096,
+                              interpret=True)
+    # auto-pick caps at the (8-rounded) batch, not the max VMEM tile
+    small = qc_fused_decode_batch(llr[:8], dec.weights, qc=qc,
+                                  spec=dec.spec, max_iterations=T,
+                                  batch_tile=None, interpret=True)
+    assert small.bits.shape == (8, code.n)
 
 
 def test_decoder_fused_option_interpret():
