@@ -14,7 +14,8 @@ from ldpc_tpu.design.dde import (
     design_rcq_ladders,
 )
 from ldpc_tpu.design.proto_dde import (analyze_decoder,
-                                       protograph_density_evolution)
+                                       protograph_density_evolution,
+                                       refine_ladders_protograph)
 
 __all__ = [
     "DegreeProfile",
@@ -25,4 +26,5 @@ __all__ = [
     "design_rcq_ladders",
     "protograph_density_evolution",
     "analyze_decoder",
+    "refine_ladders_protograph",
 ]

@@ -47,7 +47,8 @@ from ldpc_tpu.design.dde import (
     _unsigned,
 )
 
-__all__ = ["protograph_density_evolution", "analyze_decoder"]
+__all__ = ["protograph_density_evolution", "analyze_decoder",
+           "refine_ladders_protograph"]
 
 
 def _loo_folds(pmfs):
@@ -375,3 +376,68 @@ def analyze_decoder(
         schedule=schedule or ("layered" if decoder.layered else "flooding"),
         punctured_cols=punctured_cols, grid_step=grid_step,
         grid_max=grid_max)
+
+
+def refine_ladders_protograph(
+    base: np.ndarray,
+    quantizer_params,
+    v2c_quantizer_params,
+    *,
+    bc: int,
+    bv: Optional[int],
+    max_iterations: int,
+    snr_db: float,
+    schedule: str = "layered",
+    punctured_cols: Sequence[int] = (),
+    sweep: Sequence[float] = (0.8, 0.9, 1.1, 1.25),
+    grid_step: float = 1.0 / 32.0,
+    eps: float = 1e-7,
+):
+    """One coordinate-descent pass over a designed ladder using the
+    PROTOGRAPH DE under the actual decode schedule (layered by default)
+    — the final polish ``design_rcq_ladders``'s flooding-ensemble
+    objective cannot do. Uses a coarser grid (1/32) to keep the
+    per-candidate threshold bisection to seconds. Returns
+    ``(quantizer_params, v2c_quantizer_params, threshold_db)``.
+    """
+    qp = [list(p) for p in quantizer_params]
+    vqp = ([list(p) for p in v2c_quantizer_params]
+           if v2c_quantizer_params is not None else None)
+    lo0, hi0 = snr_db - 3.0, snr_db + 3.0
+
+    def threshold(q, v):
+        lo, hi = lo0, hi0
+        kw = dict(schedule=schedule, max_iterations=max_iterations,
+                  kind="rcq", bc=bc,
+                  quantizer_params=tuple(tuple(p) for p in q),
+                  bv=bv,
+                  v2c_quantizer_params=(tuple(tuple(p) for p in v)
+                                        if v is not None else None),
+                  punctured_cols=punctured_cols, grid_step=grid_step)
+        if protograph_density_evolution(
+                base, snr_db=hi, **kw).error_prob[-1] > eps:
+            return hi + 1.0
+        for _ in range(7):
+            mid = 0.5 * (lo + hi)
+            if protograph_density_evolution(
+                    base, snr_db=mid, **kw).error_prob[-1] > eps:
+                lo = mid
+            else:
+                hi = mid
+        return hi
+
+    best = threshold(qp, vqp)
+    for lad in ([qp] if vqp is None else [qp, vqp]):
+        for p in range(len(lad)):
+            for f in sweep:
+                old = lad[p][0]
+                lad[p][0] = old * f
+                thr = threshold(qp, vqp)
+                if thr < best:
+                    best = thr
+                else:
+                    lad[p][0] = old
+    return (tuple((round(c, 4), g) for c, g in qp),
+            (tuple((round(c, 4), g) for c, g in vqp)
+             if vqp is not None else None),
+            float(best))

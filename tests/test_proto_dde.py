@@ -147,3 +147,25 @@ def test_analyze_decoder_trained_weights_matter():
     # a 0.6 offset shift materially changes the predicted trajectory
     assert abs(r1.error_prob[-1] - r0.error_prob[-1]) > 1e-6 or \
         abs(r1.error_prob[2] - r0.error_prob[2]) > 1e-6
+
+
+def test_refine_ladders_protograph():
+    """The layered-schedule refinement pass only ever keeps changes that
+    LOWER the protograph DE threshold, and returns make_decoder-ready
+    shapes."""
+    from ldpc_tpu.design import refine_ladders_protograph
+
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 64, size=(3, 10))
+    qp0 = ((2.0, 1.3), (4.0, 1.3), (6.0, 1.3))
+    vqp0 = ((4.0, 1.0), (8.0, 1.0), (12.0, 1.0))
+    qp, vqp, thr = refine_ladders_protograph(
+        base, qp0, vqp0, bc=3, bv=8, max_iterations=6, snr_db=4.0,
+        sweep=(0.9, 1.1))
+    assert len(qp) == 3 and len(vqp) == 3
+    assert all(g == 1.3 for _, g in qp)
+    # threshold of the refined ladder is <= the seed's (monotone accept)
+    _, _, thr_seed = refine_ladders_protograph(
+        base, qp0, vqp0, bc=3, bv=8, max_iterations=6, snr_db=4.0,
+        sweep=())
+    assert thr <= thr_seed + 1e-9
