@@ -44,7 +44,9 @@ def run(frames: int = 262144, lift: int = 256, dev_snrs=(6.4, 6.5),
 
     import ldpc_tpu
     from ldpc_tpu.decode.qc_engine import build_qc_graph
-    from ldpc_tpu.design import degree_profile_from_base, design_rcq_ladders
+    from ldpc_tpu.design import (degree_profile_from_base,
+                                 design_rcq_ladders,
+                                 refine_ladders_protograph)
     from ldpc_tpu.sim import SimulationConfig, simulate_single_snr
 
     rng = np.random.default_rng(0)
@@ -57,6 +59,7 @@ def run(frames: int = 262144, lift: int = 256, dev_snrs=(6.4, 6.5),
     code = ldpc_tpu.create_qc_code(base, lift=lift, max_iterations=6)
 
     designs = {}
+    refined = {}
     for bc in (3, 4):
         qp, vqp, r = design_rcq_ladders(prof, bc=bc, bv=8,
                                         max_iterations=t_eff,
@@ -65,6 +68,15 @@ def run(frames: int = 262144, lift: int = 256, dev_snrs=(6.4, 6.5),
         if verbose:
             print(f"bc={bc} DDE design: CN {qp} V2C {vqp} "
                   f"(DE threshold {r.threshold_db:.2f} dB)", flush=True)
+        # schedule-exact polish: layered protograph DE at T=6 (the
+        # decoder actually under test)
+        rqp, rvqp, rthr = refine_ladders_protograph(
+            base, qp, vqp, bc=bc, bv=8, max_iterations=6,
+            snr_db=design_snr, schedule="layered")
+        refined[bc] = (rqp, rvqp)
+        if verbose:
+            print(f"bc={bc} proto-refined: CN {rqp} V2C {rvqp} "
+                  f"(layered thr {rthr:.2f} dB)", flush=True)
 
     def mk(bc, qp, vqp):
         return ldpc_tpu.make_decoder(
@@ -78,6 +90,7 @@ def run(frames: int = 262144, lift: int = 256, dev_snrs=(6.4, 6.5),
         arms[f"bc{bc}_dde"] = mk(bc, *designs[bc])
         # decomposition arm: DDE CN ladder with the hand V2C ladder
         arms[f"bc{bc}_dde_cn_only"] = mk(bc, designs[bc][0], HAND_V2C)
+        arms[f"bc{bc}_dde_refined"] = mk(bc, *refined[bc])
 
     cfg = SimulationConfig(snr_range=(0, 0), max_frames=frames,
                            max_errors=10 ** 9, min_frames=0,
@@ -95,6 +108,8 @@ def run(frames: int = 262144, lift: int = 256, dev_snrs=(6.4, 6.5),
         "design_snr": design_snr, "t_eff": t_eff,
         "designs": {str(bc): {"cn": designs[bc][0], "v2c": designs[bc][1]}
                     for bc in designs},
+        "refined": {str(bc): {"cn": refined[bc][0], "v2c": refined[bc][1]}
+                    for bc in refined},
         "fers": fers, "frames": frames,
     }
     with open(out_path, "w") as f:
