@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ldpc_tpu.channel import awgn_llr
+from ldpc_tpu.channel import awgn_llr, puncture_llr
 from ldpc_tpu.decode.engine import decode_batch, decode_batch_layered
 from ldpc_tpu.decode.qc_engine import qc_decode_batch
 from ldpc_tpu.decode.variants import Decoder
@@ -26,7 +26,8 @@ __all__ = ["make_spmd_wave_fn", "make_spmd_compacting_wave_fn"]
 
 
 def make_spmd_wave_fn(decoder: Decoder, wave_size: int, mesh: Mesh,
-                      axis_name: str = "batch") -> Callable:
+                      axis_name: str = "batch",
+                      punctured=None) -> Callable:
     """Build the jitted SPMD wave kernel:
     (key, snr_db, weights) -> (frame_errors, bit_errors, iter_sum,
     success_count) — replicated scalars summed across the mesh.
@@ -48,6 +49,8 @@ def make_spmd_wave_fn(decoder: Decoder, wave_size: int, mesh: Mesh,
         # independent noise per device: fold the mesh position into the key
         key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
         llr = awgn_llr(key, jnp.zeros((per_dev, n), jnp.float32), snr_db)
+        if punctured is not None:
+            llr = puncture_llr(llr, punctured)
         if layered:
             out = decode_batch_layered(llr, weights, layer_checks,
                                        graph=graph, spec=spec,

@@ -153,7 +153,8 @@ def _make_wave_fn(decoder: Decoder, wave_size: int, mesh=None,
     """
     if mesh is not None:
         from ldpc_tpu.parallel.montecarlo import make_spmd_wave_fn
-        return make_spmd_wave_fn(decoder, wave_size, mesh)
+        return make_spmd_wave_fn(decoder, wave_size, mesh,
+                                 punctured=punctured)
 
     n = decoder.code.n
 
@@ -316,9 +317,11 @@ def _make_compacting_wave_fn(decoder: Decoder, wave_size: int,
 
 def _build_wave(decoder: Decoder, config: "SimulationConfig", mesh=None):
     punct = config.punctured_positions
-    if punct is not None and mesh is not None:
+    if punct is not None and mesh is not None \
+            and config.early_exit_iters is not None:
         raise NotImplementedError(
-            "punctured_positions is single-device for now; drop the mesh")
+            "punctured_positions + mesh compaction is not wired yet; "
+            "drop early_exit_iters or the mesh")
     if config.early_exit_iters is not None:
         budget = (config.survivor_budget if config.survivor_budget is not None
                   else max(1, config.wave_size // 4))
@@ -334,7 +337,8 @@ def _build_wave(decoder: Decoder, config: "SimulationConfig", mesh=None):
                                         config.stage1_fused,
                                         config.stage1_batch_tile,
                                         punctured=punct)
-    return _make_wave_fn(decoder, config.wave_size, mesh, punctured=punct)
+    return _make_wave_fn(decoder, config.wave_size, mesh,
+                         punctured=punct)
 
 
 def simulate_single_snr(

@@ -138,3 +138,23 @@ def test_spmd_compaction_through_simulator(test_code):
     res = LDPCSimulator(cfg, mesh=mesh).simulate_decoder(dec, verbose=False)
     assert res.total_frames[0] == 1024
     assert 0.0 <= res.frame_error_rates[0] < 0.2
+
+
+def test_spmd_wave_with_puncturing():
+    """Punctured positions flow through the shard_map wave: FER rises vs
+    the unpunctured mesh run on the same keys."""
+    import jax
+
+    import ldpc_tpu
+
+    code = ldpc_tpu.create_peg_code(n=128, m=64, dv=3, seed=1,
+                                    max_iterations=10)
+    dec = ldpc_tpu.basic_min_sum(code)
+    mesh = make_mesh(8)
+    key = jax.random.PRNGKey(5)
+    plain = make_spmd_wave_fn(dec, wave_size=1024, mesh=mesh)
+    punct = make_spmd_wave_fn(dec, wave_size=1024, mesh=mesh,
+                              punctured=tuple(range(8)))
+    fe0 = int(plain(key, 3.0, dec.weights)[0])
+    fe1 = int(punct(key, 3.0, dec.weights)[0])
+    assert fe1 > fe0
