@@ -288,6 +288,33 @@ def example_design():
           f"{[float(f'{e:.2g}') for e in r.error_prob]}")
 
 
+def example_encode_end_to_end():
+    """Systematic GF(2) encode -> AWGN -> decode -> message recovery: the
+    full transmit path on random (non-zero) messages. Every Monte-Carlo
+    scenario uses the all-zero codeword (valid by linearity,
+    ``simulation_framework.py:107``); this demo shows the encoder closing
+    the loop on real data, including the BPSK sign mapping."""
+    jax, jnp, ldpc_tpu = _setup()
+    from ldpc_tpu.channel import awgn_llr
+
+    code = ldpc_tpu.create_peg_code(n=256, m=128, dv=3, seed=0,
+                                    max_iterations=25)
+    enc = ldpc_tpu.make_encoder(code)
+    dec = ldpc_tpu.basic_min_sum(code)
+    key = jax.random.PRNGKey(42)
+    msg = jax.random.bernoulli(key, 0.5, (64, enc.k_eff)).astype(jnp.int32)
+    cw = enc(msg)                                    # [64, n] GF(2) codewords
+    assert bool(jnp.all(enc.syndrome_ok(cw)))
+    # BPSK: bit 0 -> +1, bit 1 -> -1; awgn_llr takes the bit tensor
+    llr = awgn_llr(jax.random.fold_in(key, 1), cw.astype(jnp.float32), 5.0)
+    out = dec(llr)
+    rec = out.bits[:, jnp.asarray(enc.info_positions)]  # systematic extraction
+    ok = jnp.all(rec == msg, axis=1)
+    print(f"  encode->AWGN@5dB->decode on 64 random messages "
+          f"(k_eff={enc.k_eff}): {int(jnp.sum(ok))}/64 recovered, "
+          f"decoder success on {int(jnp.sum(out.success))}/64")
+
+
 SCENARIOS = {
     "basic": example_basic_decoding,
     "neural": example_neural_decoders,
@@ -303,6 +330,7 @@ SCENARIOS = {
     "checkpoint": example_checkpointing,
     "zoo": example_zoo,
     "design": example_design,
+    "encode": example_encode_end_to_end,
 }
 
 

@@ -100,10 +100,20 @@ def _roll_lanes(x: jnp.ndarray, s: int) -> jnp.ndarray:
     return jnp.concatenate([x[..., L - s:], x[..., :L - s]], axis=-1)
 
 
-def _qdq_mode(qparams, levels: int) -> str:
+def _qdq_mode(qparams, levels: int, closed: bool = False) -> str:
     """Mirror ``engine._make_qdq``'s static routing: 'uniform' (gamma==1
-    closed form, no transcendentals), 'power', or 'staircase'."""
-    if qparams is not None and levels > 16:
+    closed form, no transcendentals), 'power', or 'staircase'.
+
+    ``closed=True`` (the ``closed_qdq`` kernel option) forces the
+    closed-form path for SMALL LUTs too, whenever (C, gamma) params are
+    known. The exact unrolled staircase is ``levels-1`` compare+add pairs
+    per qdq call, replicated across every block of every unrolled
+    iteration — at bc>=5 (16 levels) Mosaic's compile time on the
+    remote toolchain goes pathological (>35 min observed); the closed
+    form is O(1) ops per call regardless of bc. Reconstruction matches
+    the LUT scan's index exactly (power_qdq's boundary-correction
+    selects) with <=1 ulp value rounding vs the float64-derived LUT."""
+    if qparams is not None and (closed or levels > 16):
         if np.all(np.asarray(qparams)[:, 1] == 1.0):
             return "uniform"
         return "power"
@@ -181,7 +191,7 @@ def _syndrome_epilogue(post_ref, fail_ref, PAR, qc: QCGraph, bt: int, L,
 
 
 def _make_kernel(qc: QCGraph, spec: VariantSpec, T: int, bt: int, dtype,
-                 natural: bool = False):
+                 natural: bool = False, closed_qdq: bool = False):
     NB = qc.num_blocks
     L = qc.lift
     shifts = [int(s) for s in qc.block_shift]
@@ -191,10 +201,10 @@ def _make_kernel(qc: QCGraph, spec: VariantSpec, T: int, bt: int, dtype,
     INF = float("inf")
     rd, wr = _accessors(natural, L)
 
-    q_mode = _qdq_mode(spec.qparams, spec.q_levels)
+    q_mode = _qdq_mode(spec.qparams, spec.q_levels, closed_qdq)
     with_vqdq = (spec.v2c_qparams is not None or
                  spec.v2c_thresholds is not None)
-    v_mode = _qdq_mode(spec.v2c_qparams, spec.v2c_levels)
+    v_mode = _qdq_mode(spec.v2c_qparams, spec.v2c_levels, closed_qdq)
 
     def kernel(llr_ref, beta_ref, alpha_ref, thr_ref, qp_ref, vthr_ref,
                vqp_ref, post_ref, fail_ref, S, PAR):
@@ -337,7 +347,7 @@ def _result_epilogue(post_out, fail, Bsz, n, T, lean, natural, true_B):
 
 @partial(jax.jit, static_argnames=("qc", "spec", "max_iterations", "dtype",
                                    "batch_tile", "interpret", "lean",
-                                   "natural"))
+                                   "natural", "closed_qdq"))
 def qc_fused_decode_batch(
     llr: jnp.ndarray,            # [B, n]
     weights,                     # {'beta': [T, n_beta], 'alpha': [T, n_alpha]}
@@ -350,6 +360,7 @@ def qc_fused_decode_batch(
     interpret: bool = False,
     lean: bool = False,
     natural: bool | None = None,
+    closed_qdq: bool = False,
 ) -> DecodeResult:
     """Flooding QC decode in ONE whole-decode Pallas kernel.
 
@@ -416,7 +427,7 @@ def qc_fused_decode_batch(
     vthr = tab(spec.v2c_thresholds, 1)
     vqp = tab(spec.v2c_qparams, 2)
 
-    kernel = _make_kernel(qc, spec, T, bt, dtype, natural)
+    kernel = _make_kernel(qc, spec, T, bt, dtype, natural, closed_qdq)
     grid = (Bsz // bt,)
     if natural:
         blk = pl.BlockSpec((bt, n), lambda i: (i, 0),
@@ -449,7 +460,8 @@ def qc_fused_decode_batch(
 
 
 def _make_layered_kernel(qc: QCGraph, spec: VariantSpec, T: int, bt: int,
-                         dtype, natural: bool = False):
+                         dtype, natural: bool = False,
+                         closed_qdq: bool = False):
     NB = qc.num_blocks
     L = qc.lift
     shifts = [int(s) for s in qc.block_shift]
@@ -458,10 +470,10 @@ def _make_layered_kernel(qc: QCGraph, spec: VariantSpec, T: int, bt: int,
     INF = float("inf")
     rd, wr = _accessors(natural, L)
 
-    q_mode = _qdq_mode(spec.qparams, spec.q_levels)
+    q_mode = _qdq_mode(spec.qparams, spec.q_levels, closed_qdq)
     with_vqdq = (spec.v2c_qparams is not None or
                  spec.v2c_thresholds is not None)
-    v_mode = _qdq_mode(spec.v2c_qparams, spec.v2c_levels)
+    v_mode = _qdq_mode(spec.v2c_qparams, spec.v2c_levels, closed_qdq)
 
     def kernel(llr_ref, beta_ref, alpha_ref, thr_ref, qp_ref, vthr_ref,
                vqp_ref, post_ref, fail_ref, C, colsum, PAR):
@@ -572,7 +584,7 @@ def _make_layered_kernel(qc: QCGraph, spec: VariantSpec, T: int, bt: int,
 
 @partial(jax.jit, static_argnames=("qc", "spec", "max_iterations", "dtype",
                                    "batch_tile", "interpret", "lean",
-                                   "natural"))
+                                   "natural", "closed_qdq"))
 def qc_fused_decode_batch_layered(
     llr: jnp.ndarray,            # [B, n]
     weights,
@@ -585,6 +597,7 @@ def qc_fused_decode_batch_layered(
     interpret: bool = False,
     lean: bool = False,
     natural: bool | None = None,
+    closed_qdq: bool = False,
 ) -> DecodeResult:
     """Layered-schedule whole-decode Pallas kernel.
 
@@ -647,7 +660,8 @@ def qc_fused_decode_batch_layered(
     thr, qp = tab(spec.thresholds, 1), tab(spec.qparams, 2)
     vthr, vqp = tab(spec.v2c_thresholds, 1), tab(spec.v2c_qparams, 2)
 
-    kernel = _make_layered_kernel(qc, spec, T, bt, dtype, natural)
+    kernel = _make_layered_kernel(qc, spec, T, bt, dtype, natural,
+                                  closed_qdq)
     if natural:
         blk = pl.BlockSpec((bt, n), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)

@@ -203,6 +203,7 @@ class Decoder:
                 opts.pop("interpret", None)
                 opts.pop("lean", None)
                 opts.pop("natural", None)
+                opts.pop("closed_qdq", None)
                 fused = False
             if fused:
                 # whole-decode VMEM-resident Pallas kernel; contract ==
@@ -221,6 +222,7 @@ class Decoder:
             else:
                 opts.pop("lean", None)     # fused-kernel options only
                 opts.pop("natural", None)
+                opts.pop("closed_qdq", None)
                 out = qc_decode_batch(
                     llr, w, qc=self.qc, spec=self.spec,
                     max_iterations=self.max_iterations, ste=ste,

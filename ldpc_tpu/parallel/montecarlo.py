@@ -80,7 +80,8 @@ def make_spmd_compacting_wave_fn(decoder: Decoder, wave_size: int,
                                  early_iters: int, survivor_budget: int,
                                  mesh: Mesh, axis_name: str = "batch",
                                  stage1_fused: bool = False,
-                                 stage1_batch_tile: int = 64) -> Callable:
+                                 stage1_batch_tile: int = 64,
+                                 punctured=None) -> Callable:
     """SPMD early-termination compaction: every device compacts its own
     shard locally (truncated decode -> cumsum-ranked one-hot-matmul
     survivor extraction -> full-depth re-decode), stats cross the mesh as
@@ -138,6 +139,8 @@ def make_spmd_compacting_wave_fn(decoder: Decoder, wave_size: int,
     def device_wave(key, snr_db, weights):
         key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
         llr = awgn_llr(key, jnp.zeros((per_dev, n), jnp.float32), snr_db)
+        if punctured is not None:
+            llr = puncture_llr(llr, punctured)
         out1 = short(llr, _cut(weights))
         conv = out1.success
         fe, be, it, sc = _stats(out1.bits, out1.iterations, conv, conv)

@@ -317,11 +317,6 @@ def _make_compacting_wave_fn(decoder: Decoder, wave_size: int,
 
 def _build_wave(decoder: Decoder, config: "SimulationConfig", mesh=None):
     punct = config.punctured_positions
-    if punct is not None and mesh is not None \
-            and config.early_exit_iters is not None:
-        raise NotImplementedError(
-            "punctured_positions + mesh compaction is not wired yet; "
-            "drop early_exit_iters or the mesh")
     if config.early_exit_iters is not None:
         budget = (config.survivor_budget if config.survivor_budget is not None
                   else max(1, config.wave_size // 4))
@@ -331,7 +326,8 @@ def _build_wave(decoder: Decoder, config: "SimulationConfig", mesh=None):
             return make_spmd_compacting_wave_fn(
                 decoder, config.wave_size, config.early_exit_iters, budget,
                 mesh, stage1_fused=config.stage1_fused,
-                stage1_batch_tile=config.stage1_batch_tile)
+                stage1_batch_tile=config.stage1_batch_tile,
+                punctured=punct)
         return _make_compacting_wave_fn(decoder, config.wave_size,
                                         config.early_exit_iters, budget,
                                         config.stage1_fused,

@@ -43,3 +43,11 @@ def test_examples_design_scenario():
               "import examples; examples.SCENARIOS['design']()"])
     assert r.returncode == 0, r.stderr[-2000:]
     assert "DE threshold" in r.stdout and "trajectory" in r.stdout
+
+
+def test_examples_encode_scenario():
+    r = _run(["-c",
+              "import jax; jax.config.update('jax_platforms','cpu');"
+              "import examples; examples.SCENARIOS['encode']()"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "recovered" in r.stdout

@@ -331,3 +331,61 @@ def test_arbitrary_batch_sizes_are_padded():
                                       np.asarray(ref.bits)[:37])
         np.testing.assert_array_equal(np.asarray(out.success),
                                       np.asarray(ref.success)[:37])
+
+
+@pytest.mark.parametrize("kw", [
+    # bc=5 (16 levels): the case closed_qdq exists for — the unrolled
+    # staircase makes on-chip Mosaic compiles pathological (>35 min,
+    # CLAUDE.md), while the closed form is O(1) ops per qdq call.
+    dict(kind="rcq", bc=5,
+         quantizer_params=((3.0, 1.3), (5.0, 1.3), (7.0, 1.3))),
+    dict(kind="rcq", bc=5, bv=8,
+         quantizer_params=((3.0, 1.3), (5.0, 1.3), (7.0, 1.3))),
+    dict(kind="orcq", bc=4, sharing_type=2, seed=11,
+         quantizer_params=((2.0, 1.0), (4.0, 1.0), (6.0, 1.0))),  # uniform
+])
+def test_fused_closed_qdq_matches_staircase(kw):
+    """closed_qdq=True must pick the same quantizer index as the exact
+    LUT staircase for every message (power_qdq's boundary-correction
+    selects), so hard outputs agree exactly; reconstructed values may
+    round <=1 ulp differently (f32 pow vs float64-derived LUT entry)."""
+    T = 5
+    code, qc, dec = _setup(3, 8, 16, T, base_seed=2, density=0.8, **kw)
+    llr = awgn_llr(jax.random.PRNGKey(9), jnp.zeros((64, code.n)), 2.0)
+    ref = qc_fused_decode_batch(llr, dec.weights, qc=qc, spec=dec.spec,
+                                max_iterations=T, dtype=jnp.float32,
+                                batch_tile=32, interpret=True)
+    out = qc_fused_decode_batch(llr, dec.weights, qc=qc, spec=dec.spec,
+                                max_iterations=T, dtype=jnp.float32,
+                                batch_tile=32, interpret=True,
+                                closed_qdq=True)
+    np.testing.assert_array_equal(np.asarray(out.bits), np.asarray(ref.bits))
+    np.testing.assert_array_equal(np.asarray(out.success),
+                                  np.asarray(ref.success))
+    np.testing.assert_allclose(np.asarray(out.posterior),
+                               np.asarray(ref.posterior),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_closed_qdq_via_decoder_options_layered():
+    """qc_options plumbing: closed_qdq reaches the layered fused kernel
+    and the training fallback silently drops it."""
+    T = 4
+    code, qc, dec = _setup(3, 8, 16, T, base_seed=3, density=0.8,
+                           kind="rcq", bc=5, bv=8)
+    import dataclasses as _dc
+    base = dec
+    dec_ref = _dc.replace(base, layered=True, qc_options=dict(
+        fused=True, interpret=True, batch_tile=32, dtype=jnp.float32))
+    dec_closed = _dc.replace(base, layered=True, qc_options=dict(
+        fused=True, interpret=True, batch_tile=32, dtype=jnp.float32,
+        closed_qdq=True))
+    llr = awgn_llr(jax.random.PRNGKey(4), jnp.zeros((32, code.n)), 2.5)
+    a = dec_ref(llr)
+    b = dec_closed(llr)
+    np.testing.assert_array_equal(np.asarray(a.bits), np.asarray(b.bits))
+    np.testing.assert_array_equal(np.asarray(a.success),
+                                  np.asarray(b.success))
+    # training path: must not crash on the fused-only option
+    out = dec_closed(llr[:4], ste=True)
+    assert out.posterior is not None

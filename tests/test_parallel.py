@@ -158,3 +158,36 @@ def test_spmd_wave_with_puncturing():
     fe0 = int(plain(key, 3.0, dec.weights)[0])
     fe1 = int(punct(key, 3.0, dec.weights)[0])
     assert fe1 > fe0
+
+
+def test_spmd_compacting_wave_with_puncturing(mid_code):
+    """Puncturing + mesh compaction (the combination _build_wave used to
+    reject): pooled stats equal the punctured plain SPMD wave bit-for-bit
+    on the same keys."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from ldpc_tpu.parallel.montecarlo import (make_spmd_compacting_wave_fn,
+                                              make_spmd_wave_fn)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("batch",))
+    dec = ldpc_tpu.basic_min_sum(mid_code, max_iterations=15)
+    punct = tuple(range(6))
+    plain = make_spmd_wave_fn(dec, 512, mesh, punctured=punct)
+    comp = make_spmd_compacting_wave_fn(dec, 512, early_iters=3,
+                                        survivor_budget=256, mesh=mesh,
+                                        punctured=punct)
+    key = jax.random.PRNGKey(31)
+    a = tuple(int(v) for v in plain(key, jnp.float32(2.5), dec.weights))
+    b = tuple(int(v) for v in comp(key, jnp.float32(2.5), dec.weights))
+    assert a == b, f"{a} != {b}"
+
+    # and through the simulator config that used to raise
+    from ldpc_tpu.sim import LDPCSimulator, SimulationConfig
+    cfg = SimulationConfig(snr_range=(3.0, 3.0), snr_step=1.0,
+                           max_frames=512, max_errors=10**9, min_frames=0,
+                           wave_size=512, early_exit_iters=3,
+                           survivor_budget=256, punctured_positions=punct,
+                           save_results=False)
+    res = LDPCSimulator(cfg, mesh=mesh).simulate_decoder(dec, verbose=False)
+    assert res.total_frames[0] == 512
