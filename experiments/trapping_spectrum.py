@@ -1,0 +1,87 @@
+"""Trapping-set spectra of the measured codes: the finite-graph side of
+the RESULTS §16-18 floor story, computed WITHOUT decoding a frame.
+
+§17's protograph DE localized the QC PBRL rate-1/3 floor to the finite
+graph (ensemble quantization was exonerated); experiments/pbrl_lift_floor
+measures lift-86 vs lift-258 FER directly. This script computes the
+structural fingerprint both rest on: the low-(a, b) trapping-set
+spectrum of each graph (``ldpc_tpu.design.find_trapping_sets``). The
+floor prediction: the graph with more small-(a, b) classes (especially
+low-b absorbing sets) floors higher.
+
+Codes profiled:
+- QC PBRL (3096, 1032) lift 86 — the §16 floored code;
+- same base shape at lift 258 — the pbrl_lift_floor candidate fix;
+- the bench-class (9472, 8192) QC code — measured floor-free to 2e-8
+  (RESULTS §12 deep-FER campaign), so its spectrum is the healthy
+  baseline;
+- Tanner (155, 64) — published algebraic code, known to be
+  floor-resistant at these sizes.
+
+    python experiments/trapping_spectrum.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import ldpc_tpu  # noqa: E402
+from ldpc_tpu.design import (find_trapping_sets,  # noqa: E402
+                             trapping_set_profile)
+
+
+def profile(name, H, a_max=8, b_max=4, restarts=3):
+    rep = find_trapping_sets(H, a_max=a_max, b_max=b_max, restarts=restarts,
+                             seed=0)
+    print(f"== {name} ==", flush=True)
+    print(rep.summary(), flush=True)
+    fingerprint = trapping_set_profile(H, a_max=a_max, restarts=restarts,
+                                       seed=0)
+    print(f"  min-b fingerprint: "
+          f"{ {a: fingerprint[a] for a in sorted(fingerprint)} }", flush=True)
+    spec = {f"{a},{b}": d for (a, b), d in sorted(rep.class_counts().items())}
+    return dict(spectrum=spec, min_b_fingerprint=dict(sorted(
+        fingerprint.items())))
+
+
+def main(out_path="experiments/trapping_spectrum_results.json"):
+    results = {}
+
+    base86, lift86 = ldpc_tpu.create_pbrl_qc_protograph(k=1032, rate=1 / 3,
+                                                        lift=86)
+    code86 = ldpc_tpu.create_qc_code(base86, lift=lift86, max_iterations=5)
+    results["pbrl_qc_lift86"] = profile("QC PBRL (3096,1032) lift 86",
+                                        code86.H)
+
+    base258, lift258 = ldpc_tpu.create_pbrl_qc_protograph(
+        k=1032, rate=1 / 3, lift=258)
+    code258 = ldpc_tpu.create_qc_code(base258, lift=lift258,
+                                      max_iterations=5)
+    results["pbrl_qc_lift258"] = profile("QC PBRL (3096,1032) lift 258",
+                                         code258.H)
+
+    rng = np.random.default_rng(0)      # the bench.py base (5x37, lift 256)
+    bench_base = rng.integers(0, 256, size=(5, 37))
+    bench = ldpc_tpu.create_qc_code(bench_base, lift=256, max_iterations=5)
+    results["bench_qc_9472"] = profile("bench QC (9472,8192) lift 256",
+                                       bench.H, restarts=2)
+
+    tanner = ldpc_tpu.load_protograph("codes/tanner_155_64.proto")
+    tcode = ldpc_tpu.create_qc_code(tanner[0], lift=tanner[1],
+                                    max_iterations=5)
+    results["tanner_155_64"] = profile("Tanner (155,64)", tcode.H)
+
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"results -> {out_path}", flush=True)
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -16,6 +16,9 @@ from ldpc_tpu.design.dde import (
 from ldpc_tpu.design.proto_dde import (analyze_decoder,
                                        protograph_density_evolution,
                                        refine_ladders_protograph)
+from ldpc_tpu.design.trapping_sets import (TrappingSet, TrappingSetReport,
+                                           find_trapping_sets,
+                                           trapping_set_profile)
 
 __all__ = [
     "DegreeProfile",
@@ -27,4 +30,8 @@ __all__ = [
     "protograph_density_evolution",
     "analyze_decoder",
     "refine_ladders_protograph",
+    "TrappingSet",
+    "TrappingSetReport",
+    "find_trapping_sets",
+    "trapping_set_profile",
 ]
