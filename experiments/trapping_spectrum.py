@@ -66,6 +66,12 @@ def main(out_path="experiments/trapping_spectrum_results.json"):
     results["pbrl_qc_lift258"] = profile("QC PBRL (3096,1032) lift 258",
                                          code258.H)
 
+    baseP, liftP, _punct = ldpc_tpu.create_pbrl_qc_protograph(
+        k=1032, rate=1 / 3, lift=86, precode=True)
+    codeP = ldpc_tpu.create_qc_code(baseP, lift=liftP, max_iterations=5)
+    results["pbrl_qc_precoded_lift86"] = profile(
+        "QC PBRL precoded (punctured high-degree node), lift 86", codeP.H)
+
     rng = np.random.default_rng(0)      # the bench.py base (5x37, lift 256)
     bench_base = rng.integers(0, 256, size=(5, 37))
     bench = ldpc_tpu.create_qc_code(bench_base, lift=256, max_iterations=5)

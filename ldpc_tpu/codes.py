@@ -695,7 +695,8 @@ def create_pbrl_qc_protograph(
     dv_info: int = 3,
     ir_taps: int = 3,
     seed: int = 0,
-) -> Tuple[np.ndarray, int]:
+    precode: bool = False,
+):
     """QC-lifted PBRL protograph (paper §VII-C family, k=1032).
 
     Real PBRL codes are protograph codes lifted by circulants — which is
@@ -713,12 +714,28 @@ def create_pbrl_qc_protograph(
     submatrix ``B[:mb_r, :nb_r]`` is that rate's protograph — the same
     leading-submatrix property :func:`create_pbrl_family` verifies in the
     lifted domain.
+
+    ``precode=True`` adds the defining feature of REAL PBRL designs
+    (Divsalar-family protographs): one PUNCTURED high-degree precode
+    column, tapped by every core row and every incremental-redundancy
+    row. The punctured node is never transmitted (rate is over the
+    remaining columns, so the base gains one column) but is resolved
+    early with high reliability and feeds every IR check — which is
+    what lets real PBRL codes carry degree-1 IR bits without the low-b
+    absorbing-set floor our random variant measures (RESULTS §16/§19).
+    Returns ``(base, lift, punctured_base_cols)`` — pass
+    ``punctured_base_cols`` (base-column indices) expanded to bit
+    positions to the simulator's ``punctured_positions`` and to
+    ``design.protograph_density_evolution(punctured_cols=...)``.
     """
     if k % lift:
         raise ValueError(f"k={k} must be a multiple of lift={lift}")
     n = int(round(k / rate))
     if n % lift:
         raise ValueError(f"n={n} (k/rate) must be a multiple of lift={lift}")
+    if precode:
+        return _pbrl_qc_precoded(k // lift, n // lift, lift, dv_info,
+                                 ir_taps, seed)
     kb, nb = k // lift, n // lift
     mb = nb - kb
     mb_core = min(mb, kb)
@@ -745,3 +762,40 @@ def create_pbrl_qc_protograph(
             B[i, j] = rng.integers(0, lift)
         B[i, kb + mb_core + t] = 0
     return B, lift
+
+
+def _pbrl_qc_precoded(kb: int, nb_tx: int, lift: int, dv_info: int,
+                      ir_taps: int, seed: int):
+    """Precoded PBRL base (see :func:`create_pbrl_qc_protograph`).
+
+    Column layout: [precode (punctured) | kb info | mb_core-1 staircase
+    parity | n_ir degree-1 IR parity]; the precode column taps EVERY
+    row, closing the core structure in place of the missing staircase
+    column (nb - mb = kb, so the lifted code still carries kb*lift info
+    bits while transmitting nb_tx*lift symbols — same transmitted rate
+    as the unprecoded builder)."""
+    mb = nb_tx - kb + 1
+    mb_core = min(mb - 1, kb)
+    n_ir = mb - mb_core
+    nb = nb_tx + 1
+    if mb_core < 2 or dv_info > mb_core:
+        raise ValueError(f"rate too high for a precoded core: mb_core="
+                         f"{mb_core}, dv_info={dv_info}")
+    rng = np.random.default_rng(seed)
+    B = np.full((mb, nb), -1, dtype=np.int64)
+    B[:, 0] = rng.integers(0, lift, size=mb)   # precode taps every row
+    row_load = np.zeros(mb_core, dtype=np.int64)
+    for j in range(1, kb + 1):
+        rows = np.argsort(row_load + rng.uniform(0, 0.5, mb_core))[:dv_info]
+        for r in rows:
+            B[r, j] = rng.integers(0, lift)
+            row_load[r] += 1
+    for p in range(mb_core - 1):               # dual-diagonal staircase
+        B[p, kb + 1 + p] = 0
+        B[p + 1, kb + 1 + p] = 0
+    for t in range(n_ir):
+        i = mb_core + t
+        for j in rng.choice(kb, size=ir_taps, replace=False) + 1:
+            B[i, j] = rng.integers(0, lift)
+        B[i, kb + mb_core + t] = 0
+    return B, lift, (0,)
