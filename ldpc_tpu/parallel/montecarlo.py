@@ -18,8 +18,6 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ldpc_tpu.channel import awgn_llr, puncture_llr
-from ldpc_tpu.decode.engine import decode_batch, decode_batch_layered
-from ldpc_tpu.decode.qc_engine import qc_decode_batch
 from ldpc_tpu.decode.variants import Decoder
 
 __all__ = ["make_spmd_wave_fn", "make_spmd_compacting_wave_fn"]
@@ -42,8 +40,6 @@ def make_spmd_wave_fn(decoder: Decoder, wave_size: int, mesh: Mesh,
                          f"{n_dev} devices")
     per_dev = wave_size // n_dev
     n = decoder.code.n
-    graph, spec, T = decoder.graph, decoder.spec, decoder.max_iterations
-    qc, layered, layer_checks = decoder.qc, decoder.layered, decoder.layer_checks
 
     def device_wave(key, snr_db, weights):
         # independent noise per device: fold the mesh position into the key
@@ -51,17 +47,11 @@ def make_spmd_wave_fn(decoder: Decoder, wave_size: int, mesh: Mesh,
         llr = awgn_llr(key, jnp.zeros((per_dev, n), jnp.float32), snr_db)
         if punctured is not None:
             llr = puncture_llr(llr, punctured)
-        if layered:
-            out = decode_batch_layered(llr, weights, layer_checks,
-                                       graph=graph, spec=spec,
-                                       max_iterations=T)
-        elif qc is not None:
-            out = qc_decode_batch(llr, weights, qc=qc, spec=spec,
-                                  max_iterations=T,
-                                  **(decoder.qc_options or {}))
-        else:
-            out = decode_batch(llr, weights, graph=graph, spec=spec,
-                               max_iterations=T)
+        # Decoder.__call__ dispatches to the right engine (general /
+        # QC roll / layered QC / bucketed / fused Pallas kernel) exactly
+        # as on one chip — shard_map wraps the same per-device program,
+        # so the fused whole-decode kernel scales across the mesh too
+        out = decoder(llr, weights)
         wrong = jnp.sum(out.bits, axis=-1)
         local = (jnp.sum(wrong > 0), jnp.sum(wrong),
                  jnp.sum(out.iterations), jnp.sum(out.success))

@@ -191,3 +191,36 @@ def test_spmd_compacting_wave_with_puncturing(mid_code):
                            save_results=False)
     res = LDPCSimulator(cfg, mesh=mesh).simulate_decoder(dec, verbose=False)
     assert res.total_frames[0] == 512
+
+
+def test_spmd_wave_fused_kernel_decoder():
+    """The SPMD wave dispatches through Decoder.__call__, so a fused-
+    Pallas-kernel decoder (interpret mode on CPU) runs under shard_map
+    and matches the XLA QC engine's counters on the same keys."""
+    import dataclasses as _dc
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import ldpc_tpu
+    from ldpc_tpu.decode.qc_engine import build_qc_graph
+    from jax.sharding import Mesh
+
+    rng = np.random.default_rng(4)
+    base = rng.integers(0, 16, size=(3, 8))
+    code = ldpc_tpu.create_qc_code(base, lift=16, max_iterations=6)
+    qc = build_qc_graph(base, 16)
+    dec = ldpc_tpu.make_decoder(code, max_iterations=6, qc=qc, kind="rcq",
+                                bc=3, bv=8)
+    ref = _dc.replace(dec, qc_options=dict(check_every=6))
+    fused = _dc.replace(dec, qc_options=dict(
+        fused=True, interpret=True, batch_tile=16, dtype=jnp.float32))
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("batch",))
+    key = jax.random.PRNGKey(11)
+    a = tuple(int(v) for v in make_spmd_wave_fn(ref, 256, mesh)(
+        key, jnp.float32(2.0), dec.weights))
+    b = tuple(int(v) for v in make_spmd_wave_fn(fused, 256, mesh)(
+        key, jnp.float32(2.0), dec.weights))
+    assert a == b, f"{a} != {b}"
