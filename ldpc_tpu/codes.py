@@ -783,7 +783,11 @@ def _pbrl_qc_precoded(kb: int, nb_tx: int, lift: int, dv_info: int,
                          f"{mb_core}, dv_info={dv_info}")
     rng = np.random.default_rng(seed)
     B = np.full((mb, nb), -1, dtype=np.int64)
-    B[:, 0] = rng.integers(0, lift, size=mb)   # precode taps every row
+    # rng consumption is prefix-stable in the rate: core draws first, then
+    # one draw group per IR row — so a higher rate's protograph is exactly
+    # the leading submatrix of a lower rate's (same rate-compatibility
+    # property as the unprecoded builder; verified in tests)
+    B[:mb_core, 0] = rng.integers(0, lift, size=mb_core)  # precode, core
     row_load = np.zeros(mb_core, dtype=np.int64)
     for j in range(1, kb + 1):
         rows = np.argsort(row_load + rng.uniform(0, 0.5, mb_core))[:dv_info]
@@ -795,6 +799,7 @@ def _pbrl_qc_precoded(kb: int, nb_tx: int, lift: int, dv_info: int,
         B[p + 1, kb + 1 + p] = 0
     for t in range(n_ir):
         i = mb_core + t
+        B[i, 0] = rng.integers(0, lift)        # precode taps this IR row
         for j in rng.choice(kb, size=ir_taps, replace=False) + 1:
             B[i, j] = rng.integers(0, lift)
         B[i, kb + mb_core + t] = 0

@@ -337,3 +337,17 @@ def test_pbrl_qc_precoded_protograph():
     from ldpc_tpu.design import trapping_set_profile
     prof = trapping_set_profile(code.H, a_max=4, restarts=2, seed=0)
     assert prof[2] >= 2 and prof[3] >= 2 and prof[4] >= 2
+
+
+def test_pbrl_qc_precoded_rate_compatibility():
+    """precode=True keeps the PBRL leading-submatrix property: the
+    rate-1/2 protograph is the leading submatrix of the rate-1/3 mother
+    (rng consumption is prefix-stable in the rate)."""
+    import ldpc_tpu
+
+    B3, L, p3 = ldpc_tpu.create_pbrl_qc_protograph(k=1032, rate=1 / 3,
+                                                   lift=86, precode=True)
+    B2, _, p2 = ldpc_tpu.create_pbrl_qc_protograph(k=1032, rate=1 / 2,
+                                                   lift=86, precode=True)
+    assert p3 == p2 == (0,)
+    assert (B3[: B2.shape[0], : B2.shape[1]] == B2).all()
