@@ -3,9 +3,9 @@ punctured high-degree precode node lift the §16 deep-FER floor?
 
 RESULTS §19's trapping-set enumeration predicts it should: the precoded
 protograph (``create_pbrl_qc_protograph(precode=True)``) has NO
-absorbing sets below (8,2) in the greedy search, vs the random
-variant's (8,1)/(6,2) classes, with the min-b fingerprint rising from
-all-1 to all-2. Both transmit 3096 symbols for 1032 info bits (the
+absorbing sets below b=3 in the greedy search (smallest class (5,3)),
+vs the random variant's (8,1)/(6,2) classes, with the min-b fingerprint
+rising from all-1 to all-2 (raw: trapping_spectrum_results.json). Both transmit 3096 symbols for 1032 info bits (the
 precode column is punctured), so curves compare at equal per-symbol
 SNR and equal transmitted rate.
 

@@ -32,20 +32,32 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import ldpc_tpu  # noqa: E402
-from ldpc_tpu.design import (find_trapping_sets,  # noqa: E402
-                             trapping_set_profile)
+from ldpc_tpu.design import find_trapping_sets  # noqa: E402
 
 
 def profile(name, H, a_max=8, b_max=4, restarts=3):
-    rep = find_trapping_sets(H, a_max=a_max, b_max=b_max, restarts=restarts,
-                             seed=0)
+    # ONE unbounded-b search serves both outputs: the displayed b<=b_max
+    # spectrum (filtered from class_counts) and the min-b fingerprint
+    # (min over all recorded classes) — running trapping_set_profile
+    # separately would repeat the whole restarts*a_max matmul search
+    dv_max = int(np.asarray(H).sum(axis=0).max())
+    rep = find_trapping_sets(H, a_max=a_max, b_max=dv_max * a_max,
+                             restarts=restarts, seed=0, max_sets=10000)
+    low = {ab: d for ab, d in rep.class_counts().items() if ab[1] <= b_max}
     print(f"== {name} ==", flush=True)
-    print(rep.summary(), flush=True)
-    fingerprint = trapping_set_profile(H, a_max=a_max, restarts=restarts,
-                                       seed=0)
+    print(f"trapping-set spectrum (a<={a_max}, b<={b_max} shown) of "
+          f"H {list(np.asarray(H).shape)}:", flush=True)
+    for (a, b) in sorted(low, key=lambda ab: (ab[1], ab[0])):
+        d = low[(a, b)]
+        print(f"  ({a:2d},{b:2d}): {d['unique']:5d} unique, "
+              f"{d['elementary']:5d} elementary, "
+              f"{d['absorbing']:5d} absorbing", flush=True)
+    fingerprint = {}
+    for (a, b) in rep.class_counts():
+        fingerprint[a] = min(fingerprint.get(a, b), b)
     print(f"  min-b fingerprint: "
           f"{ {a: fingerprint[a] for a in sorted(fingerprint)} }", flush=True)
-    spec = {f"{a},{b}": d for (a, b), d in sorted(rep.class_counts().items())}
+    spec = {f"{a},{b}": d for (a, b), d in sorted(low.items())}
     return dict(spectrum=spec, min_b_fingerprint=dict(sorted(
         fingerprint.items())))
 

@@ -105,6 +105,12 @@ class VariantSpec:
     q_levels: int = 0
     v2c_qparams: Optional[np.ndarray] = None
     v2c_levels: int = 0
+    # force the closed-form qdq for SMALL LUTs too (all engines AND the
+    # fused kernels read this, keeping the three implementations
+    # bit-exact). Exists for bc>=5: the exact small-LUT forms make the
+    # fused kernel's Mosaic compile pathological (>35 min), while the
+    # closed form picks the identical quantizer index in O(1) ops.
+    closed_qdq: bool = False
 
     def __post_init__(self):
         if self.kind not in ("nms", "oms", "rcq", "wrcq", "orcq"):
@@ -153,7 +159,7 @@ def _make_qdq(spec: VariantSpec, x, ste: bool, v2c: bool):
             return None
         qparams, levels, thr_key, qp_key = (
             spec.qparams, spec.q_levels, "thr", "qp")
-    if qparams is not None and levels > 16:
+    if qparams is not None and (spec.closed_qdq or levels > 16):
         if np.all(np.asarray(qparams)[:, 1] == 1.0):
             # gamma == 1 for every iteration (static): uniform thresholds —
             # pure arithmetic, no transcendentals (quantizer.uniform_qdq)

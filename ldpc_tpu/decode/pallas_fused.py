@@ -201,10 +201,12 @@ def _make_kernel(qc: QCGraph, spec: VariantSpec, T: int, bt: int, dtype,
     INF = float("inf")
     rd, wr = _accessors(natural, L)
 
-    q_mode = _qdq_mode(spec.qparams, spec.q_levels, closed_qdq)
+    q_mode = _qdq_mode(spec.qparams, spec.q_levels,
+                       closed_qdq or spec.closed_qdq)
     with_vqdq = (spec.v2c_qparams is not None or
                  spec.v2c_thresholds is not None)
-    v_mode = _qdq_mode(spec.v2c_qparams, spec.v2c_levels, closed_qdq)
+    v_mode = _qdq_mode(spec.v2c_qparams, spec.v2c_levels,
+                       closed_qdq or spec.closed_qdq)
 
     def kernel(llr_ref, beta_ref, alpha_ref, thr_ref, qp_ref, vthr_ref,
                vqp_ref, post_ref, fail_ref, S, PAR):
@@ -470,10 +472,12 @@ def _make_layered_kernel(qc: QCGraph, spec: VariantSpec, T: int, bt: int,
     INF = float("inf")
     rd, wr = _accessors(natural, L)
 
-    q_mode = _qdq_mode(spec.qparams, spec.q_levels, closed_qdq)
+    q_mode = _qdq_mode(spec.qparams, spec.q_levels,
+                       closed_qdq or spec.closed_qdq)
     with_vqdq = (spec.v2c_qparams is not None or
                  spec.v2c_thresholds is not None)
-    v_mode = _qdq_mode(spec.v2c_qparams, spec.v2c_levels, closed_qdq)
+    v_mode = _qdq_mode(spec.v2c_qparams, spec.v2c_levels,
+                       closed_qdq or spec.closed_qdq)
 
     def kernel(llr_ref, beta_ref, alpha_ref, thr_ref, qp_ref, vthr_ref,
                vqp_ref, post_ref, fail_ref, C, colsum, PAR):

@@ -354,6 +354,7 @@ def make_decoder(
     qc_options: Optional[dict] = None,
     bucketed: bool = False,
     per_layer: bool = False,
+    closed_qdq: bool = False,
 ) -> Decoder:
     """Build any decoder variant.
 
@@ -410,6 +411,8 @@ def make_decoder(
     q_levels = 0
     v2c_qparams = None
     v2c_levels = 0
+    if closed_qdq and kind not in ("rcq", "wrcq", "orcq"):
+        raise ValueError("closed_qdq only applies to quantized kinds")
     if kind in ("rcq", "wrcq", "orcq"):
         thresholds = stack_quantizer_thresholds(bc, quantizer_params, T)
         qparams = stack_quantizer_params(quantizer_params, T)
@@ -429,7 +432,8 @@ def make_decoder(
         spec = VariantSpec(kind="rcq", fixed_beta=1.0, fixed_alpha=1.0,
                            thresholds=thresholds, v2c_thresholds=v2c_thresholds,
                            qparams=qparams, q_levels=q_levels,
-                           v2c_qparams=v2c_qparams, v2c_levels=v2c_levels)
+                           v2c_qparams=v2c_qparams, v2c_levels=v2c_levels,
+                           closed_qdq=closed_qdq)
         weights = {"beta": None, "alpha": None}
         dname = name or f"RCQ(bc={bc})"
     else:
@@ -467,6 +471,7 @@ def make_decoder(
             q_levels=q_levels,
             v2c_qparams=v2c_qparams,
             v2c_levels=v2c_levels,
+            closed_qdq=closed_qdq,
         )
         if init == "reference":
             if kind == "nms" and st == 0:
@@ -501,7 +506,8 @@ def make_decoder(
         v2c_quantizer_params=(None if v2c_quantizer_params is None
                               else [list(p) for p in v2c_quantizer_params]),
         layered=layered, num_layers=num_layers, init=init, seed=seed,
-        name=dname, bucketed=bucketed, per_layer=per_layer)
+        name=dname, bucketed=bucketed, per_layer=per_layer,
+        closed_qdq=closed_qdq)
     return Decoder(
         name=dname, code=code, graph=graph, spec=spec, max_iterations=T,
         weights=weights, layered=layered, layer_checks=layer_checks, qc=qc,

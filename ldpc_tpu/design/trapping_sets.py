@@ -70,21 +70,13 @@ class TrappingSetReport:
         return self.sets[:k]
 
     # per-(a, b) unique/elementary/absorbing counts over ALL unique sets
-    # found (``sets`` itself is capped at max_sets; these counts are not)
+    # found (``sets`` itself is capped at max_sets; these counts are not —
+    # and ``spectrum[(a, b)] == counts[(a, b)]['unique']`` by construction)
     counts: Dict[Tuple[int, int], Dict[str, int]] = dataclasses.field(
         default_factory=dict)
 
     def class_counts(self) -> Dict[Tuple[int, int], Dict[str, int]]:
-        if self.counts:
-            return self.counts
-        out: Dict[Tuple[int, int], Dict[str, int]] = {}
-        for s in self.sets:
-            d = out.setdefault((s.a, s.b),
-                               dict(unique=0, elementary=0, absorbing=0))
-            d["unique"] += 1
-            d["elementary"] += int(s.elementary)
-            d["absorbing"] += int(s.absorbing)
-        return out
+        return self.counts
 
     def summary(self) -> str:
         lines = [f"trapping-set spectrum (a<={self.a_max}, b<={self.b_max}, "
@@ -136,6 +128,9 @@ def find_trapping_sets(code_or_H, a_max: int = 8, b_max: int = 4,
     """
     H = _as_H(code_or_H)
     m, n = H.shape
+    # a seed saturates all n variables after n-1 additions; past that the
+    # all-inf argmin would re-add v=0 and corrupt the degree counters
+    a_max = min(a_max, n)
     Hf = H.astype(np.float32)
     HTi = H.T.astype(np.int32)            # [n, m] row gather per added VN
     rng = np.random.default_rng(seed)

@@ -389,3 +389,26 @@ def test_closed_qdq_via_decoder_options_layered():
     # training path: must not crash on the fused-only option
     out = dec_closed(llr[:4], ste=True)
     assert out.posterior is not None
+
+
+def test_closed_qdq_spec_three_way_parity():
+    """make_decoder(closed_qdq=True) sets the flag on the SPEC, so the
+    XLA engine and the fused kernel run the SAME closed-form quantizer —
+    the three-implementation bit-exactness invariant holds for bc=5."""
+    T = 5
+    code, qc, dec = _setup(3, 8, 16, T, base_seed=4, density=0.8,
+                           kind="rcq", bc=5, bv=8, closed_qdq=True)
+    assert dec.spec.closed_qdq
+    llr = awgn_llr(jax.random.PRNGKey(12), jnp.zeros((48, code.n)), 2.2)
+    eng = qc_decode_batch(llr, dec.weights, qc=qc, spec=dec.spec,
+                          max_iterations=T, check_every=T,
+                          dtype=jnp.float32)
+    fus = qc_fused_decode_batch(llr, dec.weights, qc=qc, spec=dec.spec,
+                                max_iterations=T, dtype=jnp.float32,
+                                batch_tile=16, interpret=True)
+    np.testing.assert_array_equal(np.asarray(fus.bits), np.asarray(eng.bits))
+    np.testing.assert_array_equal(np.asarray(fus.success),
+                                  np.asarray(eng.success))
+    np.testing.assert_allclose(np.asarray(fus.posterior),
+                               np.asarray(eng.posterior),
+                               rtol=1e-6, atol=1e-5)
