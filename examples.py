@@ -315,6 +315,28 @@ def example_encode_end_to_end():
           f"decoder success on {int(jnp.sum(out.success))}/64")
 
 
+def example_floor_diagnosis():
+    """Finite-graph floor diagnosis: trapping-set spectrum + an
+    importance-sampled failure probability (design/trapping_sets.py,
+    sim/importance.py — RESULTS §19/§21 machinery in miniature)."""
+    jax, jnp, ldpc_tpu = _setup()
+    from ldpc_tpu.design import find_trapping_sets
+    from ldpc_tpu.sim import estimate_trapping_floor
+
+    code = ldpc_tpu.create_peg_code(n=96, m=48, dv=3, seed=1,
+                                    max_iterations=15)
+    rep = find_trapping_sets(code.H, a_max=6, b_max=3, restarts=2)
+    print("  " + rep.summary().replace("\n", "\n  "))
+    if rep.sets:
+        ts = rep.dominant(1)[0]
+        dec = ldpc_tpu.basic_min_sum(code)
+        est = estimate_trapping_floor(
+            dec, [((ts.a, ts.b), rep.class_counts()[(ts.a, ts.b)]["unique"],
+                   ts.variables)],
+            snr_db=4.0, shift=1.5, n_samples=4096, batch=1024)
+        print("  " + est.summary().replace("\n", "\n  "))
+
+
 SCENARIOS = {
     "basic": example_basic_decoding,
     "neural": example_neural_decoders,
@@ -331,6 +353,7 @@ SCENARIOS = {
     "zoo": example_zoo,
     "design": example_design,
     "encode": example_encode_end_to_end,
+    "floor": example_floor_diagnosis,
 }
 
 

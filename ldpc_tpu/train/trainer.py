@@ -59,6 +59,14 @@ class TrainingConfig:
     clip_threshold: float = 1e-3
     early_stop_accuracy: float = 0.99
     seed: int = 0
+    # learning-rate schedule (beyond the reference's constant-LR Adam):
+    # 'constant', or 'cosine' (optax warmup_cosine_decay to 1% of peak
+    # over decay_steps optimizer steps, after warmup_steps). The
+    # train_layered_short T=5 thread showed long constant-LR runs
+    # plateau; a decaying schedule is the standard fix.
+    lr_schedule: str = "constant"
+    warmup_steps: int = 0
+    decay_steps: Optional[int] = None
 
 
 def posterior_joint_loss(
@@ -125,7 +133,22 @@ class PosteriorJointTrainer:
             # reference clips the global norm to clip_threshold
             # (training_framework.py:146-148)
             chain.append(optax.clip_by_global_norm(cfg.clip_threshold))
-        chain.append(optax.adam(cfg.learning_rate))
+        if cfg.lr_schedule == "constant":
+            lr = cfg.learning_rate
+        elif cfg.lr_schedule == "cosine":
+            if not cfg.decay_steps:
+                raise ValueError(
+                    "lr_schedule='cosine' needs decay_steps (total "
+                    "optimizer steps = num_epochs * batches_per_epoch)")
+            lr = optax.warmup_cosine_decay_schedule(
+                init_value=0.0 if cfg.warmup_steps else cfg.learning_rate,
+                peak_value=cfg.learning_rate,
+                warmup_steps=cfg.warmup_steps,
+                decay_steps=cfg.decay_steps,
+                end_value=cfg.learning_rate * 0.01)
+        else:
+            raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r}")
+        chain.append(optax.adam(lr))
         return optax.chain(*chain)
 
     @staticmethod

@@ -51,3 +51,11 @@ def test_examples_encode_scenario():
               "import examples; examples.SCENARIOS['encode']()"])
     assert r.returncode == 0, r.stderr[-2000:]
     assert "recovered" in r.stdout
+
+
+def test_examples_floor_scenario():
+    r = _run(["-c",
+              "import jax; jax.config.update('jax_platforms','cpu');"
+              "import examples; examples.SCENARIOS['floor']()"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "IS floor estimate" in r.stdout
