@@ -78,10 +78,15 @@ def run(epochs: int = 24, frames: int = 65536, lift: int = 256,
     for T in schedules:
         for pl in (False, True):
             dec = mk(T, "orcq", opts=fused, per_layer=pl)
+            # cosine decay (RESULTS SS18: the T=5 gap lives in the
+            # training protocol; long constant-LR runs plateau)
+            steps = epochs * (2048 // 128)
             tr = PosteriorJointTrainer(
                 dec, TrainingConfig(batch_size=128, num_epochs=epochs,
                                     learning_rate=2e-3,
                                     snr_range=(5.5, 7.5),
+                                    lr_schedule="cosine", warmup_steps=8,
+                                    decay_steps=steps,
                                     early_stop_accuracy=2.0, seed=0))
             hist = tr.train(num_samples=2048, verbose=verbose)
             tag = f"W-OMS-RCQ-L{T}" + ("+perlayer" if pl else "")
