@@ -54,9 +54,13 @@ def main(samples=2 ** 15, exemplars=3, shift=1.6,
     results = {}
 
     def build(precode):
+        punct = None
         if precode:
-            B, L, _ = ldpc_tpu.create_pbrl_qc_protograph(
+            B, L, pc = ldpc_tpu.create_pbrl_qc_protograph(
                 k=1032, rate=1 / 3, precode=True)
+            # the precode column is NEVER transmitted: the IS channel must
+            # puncture it exactly as the measured system does
+            punct = tuple(range(L * pc[0], L * (pc[0] + 1)))
         else:
             B, L = ldpc_tpu.create_pbrl_qc_protograph(k=1032, rate=1 / 3)
         code = ldpc_tpu.create_qc_code(B, lift=L, max_iterations=T)
@@ -68,11 +72,14 @@ def main(samples=2 ** 15, exemplars=3, shift=1.6,
             code, kind="rcq", bc=4, bv=8, quantizer_params=QP,
             v2c_quantizer_params=VQP8, max_iterations=T, qc=qc,
             layered=True, qc_options=fused)
-        return code, dec
+        return code, dec, punct
 
-    for name, precode in (("random", False), ("precoded", True)):
-        code, dec = build(precode)
-        rep = find_trapping_sets(code.H, a_max=8, b_max=3, restarts=3)
+    base_key = jax.random.PRNGKey(20260818)
+    for arm_i, (name, precode) in enumerate(
+            (("random", False), ("precoded", True))):
+        code, dec, punct = build(precode)
+        rep = find_trapping_sets(code.H, a_max=8, b_max=3, restarts=3,
+                                 max_sets=10000)
         # top classes by (b, a); several exemplars each to expose
         # within-class probability spread
         chosen = {}
@@ -100,11 +107,15 @@ def main(samples=2 ** 15, exemplars=3, shift=1.6,
                 mult = cc[ab]["absorbing"] or cc[ab]["unique"]
                 ps = []
                 for i, ts in enumerate(chosen[ab][:exemplars]):
+                    # deterministic, run-reproducible key (hash() of str
+                    # tuples is PYTHONHASHSEED-salted)
+                    k = base_key
+                    for part in (arm_i, ab[0], ab[1], i):
+                        k = jax.random.fold_in(k, part)
                     est = estimate_trapping_floor(
                         dec, [((ts.a, ts.b), 1, ts.variables)],
                         snr_db=snr, shift=shift, n_samples=samples,
-                        batch=2 ** 11,
-                        key=jax.random.PRNGKey(hash((name, ab, i)) % 2**31))
+                        batch=2 ** 11, key=k, punctured=punct)
                     (_, p, rel) = est.per_class[ab]
                     ps.append((p, rel))
                 pbar = float(np.mean([p for p, _ in ps]))

@@ -43,7 +43,7 @@ __all__ = ["biased_awgn_llr", "estimate_event_probability",
 
 
 def biased_awgn_llr(key: jax.Array, batch: int, n: int, snr_db: float,
-                    positions, shift: float,
+                    positions, shift: float, punctured=None,
                     dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """All-zero-codeword AWGN LLRs with the noise mean shifted by
     ``-shift`` at ``positions``; returns ``(llr [B, n], log_w [B])``.
@@ -51,8 +51,14 @@ def biased_awgn_llr(key: jax.Array, batch: int, n: int, snr_db: float,
     ``exp(log_w)`` is the per-frame likelihood ratio of the TRUE channel
     to the biased one — multiply any event indicator by it before
     averaging. Bit/LLR conventions match ``channel.awgn_llr`` (bit 0 ->
-    +1, ``llr = 2 r / sigma^2``).
+    +1, ``llr = 2 r / sigma^2``). ``punctured``: bit positions that are
+    never transmitted — their LLRs are zeroed AFTER weight computation
+    (the weight covers only transmitted coordinates; shifting a
+    punctured position is rejected, it has no noise to bias).
     """
+    if punctured is not None and np.intersect1d(
+            np.asarray(positions), np.asarray(punctured)).size:
+        raise ValueError("cannot shift punctured (untransmitted) positions")
     sigma2 = 10.0 ** (-float(snr_db) / 10.0)
     pos = jnp.asarray(np.asarray(positions, dtype=np.int64))
     noise = jax.random.normal(key, (batch, n), jnp.float32) * jnp.sqrt(
@@ -63,7 +69,11 @@ def biased_awgn_llr(key: jax.Array, batch: int, n: int, snr_db: float,
     dn = float(shift) * jnp.sum(noise[:, pos], axis=1)
     log_w = (2.0 * dn - len(np.asarray(positions)) * float(shift) ** 2) / (
         2.0 * sigma2)
-    return (2.0 * recv / sigma2).astype(dtype), log_w
+    llr = (2.0 * recv / sigma2).astype(dtype)
+    if punctured is not None:
+        from ldpc_tpu.channel import puncture_llr
+        llr = puncture_llr(llr, punctured)
+    return llr, log_w
 
 
 def estimate_event_probability(
@@ -76,6 +86,7 @@ def estimate_event_probability(
     n_samples: int = 2 ** 16,
     batch: int = 2 ** 12,
     key: Optional[jax.Array] = None,
+    punctured=None,
 ) -> Tuple[float, float]:
     """IS estimate of ``P[event]`` under the true channel.
 
@@ -92,7 +103,8 @@ def estimate_event_probability(
     while count < n_samples:
         b = min(batch, n_samples - count)
         key, sub = jax.random.split(key)
-        llr, log_w = biased_awgn_llr(sub, b, n, snr_db, positions, shift)
+        llr, log_w = biased_awgn_llr(sub, b, n, snr_db, positions, shift,
+                                     punctured=punctured)
         ind = event_fn(llr)
         vals = np.asarray(jnp.where(ind, jnp.exp(log_w), 0.0), np.float64)
         total += float(vals.sum())
@@ -133,6 +145,7 @@ def estimate_trapping_floor(
     batch: int = 2 ** 11,
     localized: bool = True,
     key: Optional[jax.Array] = None,
+    punctured=None,
 ) -> FloorEstimate:
     """Floor contribution of the given trapping-set classes.
 
@@ -172,7 +185,7 @@ def estimate_trapping_floor(
         key, sub = jax.random.split(key)
         p, rel = estimate_event_probability(
             event, n=n, snr_db=snr_db, positions=members, shift=shift,
-            n_samples=n_samples, batch=batch, key=sub)
+            n_samples=n_samples, batch=batch, key=sub, punctured=punctured)
         per_class[tuple(ab)] = (int(mult), p, rel)
         fer += mult * p
     return FloorEstimate(fer_floor=fer, per_class=per_class, snr_db=snr_db)

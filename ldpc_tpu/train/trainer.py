@@ -60,8 +60,9 @@ class TrainingConfig:
     early_stop_accuracy: float = 0.99
     seed: int = 0
     # learning-rate schedule (beyond the reference's constant-LR Adam):
-    # 'constant', or 'cosine' (optax warmup_cosine_decay to 1% of peak
-    # over decay_steps optimizer steps, after warmup_steps). The
+    # 'constant', or 'cosine' (optax warmup_cosine_decay to 1% of peak;
+    # decay_steps = TOTAL schedule length in optimizer steps, warmup
+    # INCLUDED — optax semantics). The
     # train_layered_short T=5 thread showed long constant-LR runs
     # plateau; a decaying schedule is the standard fix.
     lr_schedule: str = "constant"

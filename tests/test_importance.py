@@ -106,3 +106,19 @@ def test_floor_estimator_runs_and_orders():
     assert est.summary().startswith("IS floor estimate")
     for (m, p, rel) in est.per_class.values():
         assert p >= 0.0 and m >= 1
+
+
+def test_punctured_support():
+    """Punctured positions come back as zero LLRs (after weight
+    computation over transmitted coordinates only) and shifting an
+    untransmitted position is rejected."""
+    import pytest
+
+    llr, log_w = biased_awgn_llr(jax.random.PRNGKey(7), 64, 16, 3.0,
+                                 positions=[4], shift=1.0,
+                                 punctured=(0, 1))
+    assert np.all(np.asarray(llr[:, :2]) == 0.0)
+    assert np.all(np.asarray(llr[:, 2:]) != 0.0)
+    with pytest.raises(ValueError, match="punctured"):
+        biased_awgn_llr(jax.random.PRNGKey(7), 8, 16, 3.0,
+                        positions=[1], shift=1.0, punctured=(0, 1))

@@ -82,7 +82,6 @@ def test_qc_code_spectrum_runs():
 def test_a_max_exceeding_n_is_clamped():
     """a_max >= n used to corrupt the degree counters once every seed's
     set saturated (argmin over an all-inf row re-added variable 0)."""
-    H = np.zeros((3, 6), dtype=np.int8)
     rng = np.random.default_rng(6)   # the seed that crashed pre-fix
     H = (rng.random((3, 6)) < 0.5).astype(np.int8)
     H[:, H.sum(0) == 0] = 1
