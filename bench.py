@@ -61,7 +61,12 @@ def main():
         quantizer_params=((2.0, 1.3), (4.0, 1.3), (6.0, 1.3)),
         v2c_quantizer_params=((4.0, 1.0), (8.0, 1.0), (12.0, 1.0)),
         max_iterations=T, qc=qc, layered=True,
-        qc_options=dict(fused=True, batch_tile=64, dtype=jnp.bfloat16))
+        # lean epilogue (int8 bits, no [B,n] posterior) + natural [B,n]
+        # kernel IO layout: measured best of the on-chip A/B
+        # (experiments/lean_ab_results.json — 575.6k vs 495.8k for the
+        # full-posterior block layout, bit-exact parity on 16384 frames)
+        qc_options=dict(fused=True, batch_tile=64, dtype=jnp.bfloat16,
+                        lean=True, natural=True))
 
     B = 8192
     snr_db = 7.0  # operating point of this (5,37)-regular rate-0.865 code

@@ -396,12 +396,13 @@ def qc_fused_decode_batch(
             f"(or batch_tile=None to auto-pick)")
 
     if natural is None:
-        # OPT-IN until validated on the real Mosaic toolchain: this
-        # layout has only run in interpret mode so far, and auto-enabling
-        # would silently change the warmed bench program shape
-        # (CLAUDE.md bench notes). Flip to `L % 128 == 0` once measured
-        # on-chip.
-        natural = False
+        # AUTO since measured on-chip (2026-08-19, experiments/
+        # lean_ab_results.json): bit-exact vs the block layout on 16384
+        # frames and ~16% faster end-to-end (575.6k vs 495.8k cw/s with
+        # the lean epilogue) — the [nb, B, L] transposes it removes were
+        # pure overhead. Falls back to the block layout when the lift
+        # does not fill the 128 lanes.
+        natural = L % 128 == 0
     if natural and L % 128:
         raise ValueError(f"natural layout needs lift % 128 == 0, got {L}")
     if natural:
@@ -635,12 +636,13 @@ def qc_fused_decode_batch_layered(
             f"(or batch_tile=None to auto-pick)")
 
     if natural is None:
-        # OPT-IN until validated on the real Mosaic toolchain: this
-        # layout has only run in interpret mode so far, and auto-enabling
-        # would silently change the warmed bench program shape
-        # (CLAUDE.md bench notes). Flip to `L % 128 == 0` once measured
-        # on-chip.
-        natural = False
+        # AUTO since measured on-chip (2026-08-19, experiments/
+        # lean_ab_results.json): bit-exact vs the block layout on 16384
+        # frames and ~16% faster end-to-end (575.6k vs 495.8k cw/s with
+        # the lean epilogue) — the [nb, B, L] transposes it removes were
+        # pure overhead. Falls back to the block layout when the lift
+        # does not fill the 128 lanes.
+        natural = L % 128 == 0
     if natural and L % 128:
         raise ValueError(f"natural layout needs lift % 128 == 0, got {L}")
     if natural:
