@@ -14,6 +14,7 @@ from ldpc_tpu.design.dde import (
     design_rcq_ladders,
 )
 from ldpc_tpu.design.proto_dde import (analyze_decoder,
+                                       design_dynamic_quantizers,
                                        protograph_density_evolution,
                                        refine_ladders_protograph)
 from ldpc_tpu.design.trapping_sets import (TrappingSet, TrappingSetReport,
@@ -30,6 +31,7 @@ __all__ = [
     "protograph_density_evolution",
     "analyze_decoder",
     "refine_ladders_protograph",
+    "design_dynamic_quantizers",
     "TrappingSet",
     "TrappingSetReport",
     "find_trapping_sets",

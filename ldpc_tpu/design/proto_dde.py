@@ -30,7 +30,8 @@ from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
-from ldpc_tpu.quantizer import power_thresholds_for_levels
+from ldpc_tpu.quantizer import (phase_schedule, power_thresholds,
+                                power_thresholds_for_levels)
 
 from ldpc_tpu.design.dde import (
     DEResult,
@@ -48,7 +49,7 @@ from ldpc_tpu.design.dde import (
 )
 
 __all__ = ["protograph_density_evolution", "analyze_decoder",
-           "refine_ladders_protograph"]
+           "refine_ladders_protograph", "design_dynamic_quantizers"]
 
 
 def _loo_folds(pmfs):
@@ -441,3 +442,94 @@ def refine_ladders_protograph(
             (tuple((round(c, 4), g) for c, g in vqp)
              if vqp is not None else None),
             float(best))
+
+
+def design_dynamic_quantizers(
+    base: np.ndarray,
+    *,
+    snr_db: float,
+    max_iterations: int,
+    bc: int,
+    bv: Optional[int] = None,
+    v2c_quantizer_params=None,
+    kind: str = "rcq",
+    schedule: str = "layered",
+    punctured_cols: Sequence[int] = (),
+    init_params: Sequence[Tuple[float, float]] = (
+        (3.0, 1.3), (5.0, 1.3), (7.0, 1.3)),
+    C_factors: Sequence[float] = (0.6, 0.75, 0.9, 1.0, 1.15, 1.4),
+    gammas: Sequence[float] = (1.0, 1.3),
+    passes: int = 2,
+    grid_step: float = 1.0 / 32.0,
+    beta=0.0,
+    alpha=1.0,
+    alpha_in_cn: bool = False,
+):
+    """Per-ITERATION (C, gamma) C2V-quantizer design by greedy DE descent
+    — the paper's dynamic-quantization design rule (RCQ decoders use a
+    different quantizer each iteration, designed from the iteration's
+    message statistics; SS VI / Fig. 4 of the W-RCQ paper; reference
+    approximation: the fixed thirds ``phase_schedule`` in
+    ``rcq_decoder.py:66-71``), realized here as coordinate descent on
+    the protograph DE under the ACTUAL schedule (layered by default).
+
+    Starting from ``init_params`` expanded onto the thirds schedule,
+    each pass sweeps iterations t = 0..T-1 in order; for every candidate
+    ``(f * C_t, gamma)`` it re-runs the full DE and keeps the candidate
+    iff it improves the error-probability trajectory LEXICOGRAPHICALLY
+    from the last iteration backwards (final error first; earlier
+    iterations break ties — at a fixed design SNR many candidates drive
+    the final error to the same floor, and faster convergence is what
+    the early-exit bench config monetizes).
+
+    Returns ``(per_iter_params, de_result)`` where ``per_iter_params``
+    is a length-T tuple of (C, gamma) — pass it directly to
+    :func:`ldpc_tpu.make_decoder` as ``quantizer_params`` (the engines'
+    ``phase_schedule(T, Q=T)`` assigns one entry per iteration).
+
+    The internal bv ladder (``v2c_quantizer_params``) is held fixed:
+    the engines' posterior/v2c quantizer reach must stay aligned with
+    the accumulated-LLR growth, and the CN ladder is where the paper's
+    dynamic rule acts.
+    """
+    T = max_iterations
+    sched = phase_schedule(T, len(init_params))
+    params = [list(init_params[p]) for p in sched]
+
+    def run(ps):
+        luts = [power_thresholds(bc, c, g) for (c, g) in ps]
+        return protograph_density_evolution(
+            base, snr_db=snr_db, max_iterations=T, kind=kind,
+            beta=beta, alpha=alpha, alpha_in_cn=alpha_in_cn,
+            bc=bc, c_luts=luts, bv=bv,
+            v2c_quantizer_params=v2c_quantizer_params,
+            schedule=schedule, punctured_cols=punctured_cols,
+            grid_step=grid_step)
+
+    def key(res):
+        # final error dominates; earlier iterations break ties
+        return tuple(res.error_prob[::-1])
+
+    best_res = run(params)
+    best_key = key(best_res)
+    for _ in range(passes):
+        improved = False
+        for t in range(T):
+            c0, g0 = params[t]
+            for f in C_factors:
+                for g in gammas:
+                    cand = (round(c0 * f, 4), g)
+                    if cand == (c0, g0):
+                        continue
+                    params[t] = list(cand)
+                    res = run(params)
+                    k = key(res)
+                    if k < best_key:
+                        best_key, best_res = k, res
+                        c0, g0 = cand
+                        improved = True
+                    else:
+                        params[t] = [c0, g0]
+        if not improved:
+            break
+    return tuple((float(c), float(g)) for c, g in params), best_res

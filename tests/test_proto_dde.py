@@ -169,3 +169,44 @@ def test_refine_ladders_protograph():
         base, qp0, vqp0, bc=3, bv=8, max_iterations=6, snr_db=4.0,
         sweep=())
     assert thr <= thr_seed + 1e-9
+
+
+def test_design_dynamic_quantizers_improves_and_builds():
+    """The per-iteration designer (a) never worsens the DE error
+    trajectory key vs its thirds-schedule seed, (b) returns a length-T
+    ladder that make_decoder accepts directly (phase_schedule Q=T =
+    one quantizer per iteration), and the built decoder decodes."""
+    import jax
+    import jax.numpy as jnp
+
+    import ldpc_tpu
+    from ldpc_tpu.channel import awgn_llr
+    from ldpc_tpu.design import design_dynamic_quantizers
+    from ldpc_tpu.design.proto_dde import protograph_density_evolution
+
+    rng = np.random.default_rng(1)
+    base = rng.integers(0, 16, size=(3, 10))
+    T, bc = 5, 4
+    init = ((3.0, 1.3), (5.0, 1.3), (7.0, 1.3))
+    vqp = ((4.0, 1.0), (8.0, 1.0), (12.0, 1.0))
+    ps, res = design_dynamic_quantizers(
+        base, snr_db=3.2, max_iterations=T, bc=bc, bv=8,
+        v2c_quantizer_params=vqp, init_params=init, passes=1,
+        C_factors=(0.8, 1.0, 1.25), gammas=(1.3,))
+    assert len(ps) == T
+    seed = protograph_density_evolution(
+        base, snr_db=3.2, max_iterations=T, kind="rcq", bc=bc,
+        quantizer_params=init, bv=8, v2c_quantizer_params=vqp,
+        schedule="layered", grid_step=1.0 / 32.0)
+    assert res.error_prob[-1] <= seed.error_prob[-1] + 1e-15
+
+    lift = 16
+    code = ldpc_tpu.create_qc_code(base, lift=lift, max_iterations=T)
+    from ldpc_tpu.decode.qc_engine import build_qc_graph
+    qc = build_qc_graph(base, lift)
+    dec = ldpc_tpu.make_decoder(
+        code, kind="rcq", bc=bc, bv=8, quantizer_params=ps,
+        v2c_quantizer_params=vqp, max_iterations=T, qc=qc, layered=True)
+    llr = awgn_llr(jax.random.PRNGKey(0), jnp.zeros((32, code.n)), 6.0)
+    out = dec(llr)
+    assert float(jnp.mean(out.success)) > 0.9
