@@ -92,6 +92,18 @@ def run(frames: int = 262144, lift: int = 256, dev_snrs=(6.4, 6.5),
         arms[f"bc{bc}_dde_cn_only"] = mk(bc, designs[bc][0], HAND_V2C)
         arms[f"bc{bc}_dde_refined"] = mk(bc, *refined[bc])
 
+    # per-iteration dynamic ladders (design_dynamic_quantizers output,
+    # experiments/dynamic_ladders.py) if that CPU design has been run
+    dyn_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "dynamic_ladders_results.json")
+    if os.path.exists(dyn_path):
+        dyn = json.load(open(dyn_path))
+        for bc in (3, 4):
+            d = dyn.get(f"bc{bc}")
+            if d:
+                qp = tuple(tuple(p) for p in d["designed_params"])
+                arms[f"bc{bc}_dyn"] = mk(bc, qp, HAND_V2C)
+
     cfg = SimulationConfig(snr_range=(0, 0), max_frames=frames,
                            max_errors=10 ** 9, min_frames=0,
                            wave_size=min(16384, frames), seed=7)

@@ -15,9 +15,13 @@ that thread proposed.
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from ldpc_tpu.design import design_dynamic_quantizers
 from ldpc_tpu.design.proto_dde import protograph_density_evolution

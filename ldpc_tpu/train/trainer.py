@@ -68,6 +68,11 @@ class TrainingConfig:
     lr_schedule: str = "constant"
     warmup_steps: int = 0
     decay_steps: Optional[int] = None
+    # Rate-compatible / precoded-graph training: these codeword positions
+    # are never transmitted (e.g. the PBRL precode column,
+    # ``create_pbrl_qc_protograph(precode=True)``), so their channel LLR
+    # is 0. Matches SimulationConfig.punctured_positions semantics.
+    punctured_positions: Tuple[int, ...] = ()
 
 
 def posterior_joint_loss(
@@ -208,6 +213,7 @@ class PosteriorJointTrainer:
         n = self.decoder.code.n
         lo, hi = self.config.snr_range
         B = self.config.batch_size
+        mask = self._tx_mask()
 
         @jax.jit
         def sample(key):
@@ -217,9 +223,21 @@ class PosteriorJointTrainer:
             snrs = jax.random.uniform(ksnr, (B,), minval=lo, maxval=hi)
             zeros = jnp.zeros((B, n), jnp.float32)
             llr = awgn_llr(knoise, zeros, snrs)
+            if mask is not None:
+                llr = llr * mask
             return llr, zeros
 
         return sample
+
+    def _tx_mask(self):
+        """[n] float mask: 0 at punctured positions, else 1 (None if no
+        puncturing)."""
+        punct = self.config.punctured_positions
+        if not punct:
+            return None
+        mask = np.ones(self.decoder.code.n, np.float32)
+        mask[np.asarray(punct, np.int64)] = 0.0
+        return jnp.asarray(mask)
 
     # -- reference-parity API ------------------------------------------------
 
@@ -235,6 +253,9 @@ class PosteriorJointTrainer:
         snrs = jnp.linspace(lo, hi, num_samples)
         zeros = jnp.zeros((num_samples, n), jnp.float32)
         llrs = awgn_llr(key, zeros, snrs)
+        mask = self._tx_mask()
+        if mask is not None:
+            llrs = llrs * mask
         return llrs, zeros
 
     def compute_loss(self, llr, targets):

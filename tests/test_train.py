@@ -90,6 +90,24 @@ def test_generate_training_data_shapes(test_code):
     assert float(jnp.mean((llr > 0).astype(jnp.float32))) > 0.7
 
 
+def test_punctured_training_data_and_step(test_code):
+    """punctured_positions zeroes those LLR columns in both the sampler
+    and the materialized dataset, and a train step still runs (the
+    precoded-PBRL / rate-compatible training path)."""
+    dec = ldpc_tpu.neural_min_sum(test_code, max_iterations=5, seed=1)
+    cfg = _cfg(num_epochs=1, punctured_positions=(0, 3))
+    tr = PosteriorJointTrainer(dec, cfg)
+    llr, _ = tr.generate_training_data(64)
+    assert float(jnp.abs(llr[:, 0]).max()) == 0.0
+    assert float(jnp.abs(llr[:, 3]).max()) == 0.0
+    assert float(jnp.abs(llr[:, 1]).max()) > 0.0
+    sllr, _ = tr._sample(jax.random.PRNGKey(0))
+    assert float(jnp.abs(sllr[:, 0]).max()) == 0.0
+    assert float(jnp.abs(sllr[:, 2]).max()) > 0.0
+    hist = tr.train(num_samples=64, val_samples=32, verbose=False)
+    assert np.isfinite(hist["training_losses"][-1])
+
+
 def test_gradient_explosion_analyzer(test_code):
     dec = ldpc_tpu.neural_min_sum(test_code, max_iterations=5, seed=0)
     an = GradientExplosionAnalyzer(dec)
