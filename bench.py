@@ -12,8 +12,11 @@ Decoder configuration (each choice FER-validated, docs/RESULTS.md):
   10-iteration flooding baseline at the operating points (0.059 vs 0.151
   at 6.25 dB, 8e-5 vs 5.2e-4 at 6.5 dB, 65k frames each), at 1.4x the
   throughput; this is also the schedule the paper's FPGA uses (SS VII-B);
-- CN quantizer ladder 2-4-6 @ gamma 1.3, selected by the dev-FER sweep
-  (experiments/accuracy_bc3.py) — ~0.08 dB better than the 3-5-7 default;
+- DDE-DESIGNED CN quantizer ladder 2.65-3.09-5.38 @ gamma 1.3
+  (ldpc_tpu.design.design_rcq_ladders, the paper §VI machinery) —
+  dev-FER 4.58e-5 vs 9.54e-5 for the previous hand-swept 2-4-6 ladder
+  at 6.5 dB (experiments/dde_ladders_results.json, 262k frames), and
+  3.3x fewer t1=2 early-exit survivors; throughput-neutral;
 - bv=8 internal quantizer on the uniform (gamma=1) ladder — the
   TPU-native form (no transcendentals), +0.001 dB vs power-law;
 - EARLY TERMINATION via the exact {3, 6} two-checkpoint decoder
@@ -58,7 +61,7 @@ def main():
     qc = build_qc_graph(base, 256)
     dec = ldpc_tpu.make_decoder(
         code, kind="rcq", bc=3, bv=8,
-        quantizer_params=((2.0, 1.3), (4.0, 1.3), (6.0, 1.3)),
+        quantizer_params=((2.6474, 1.3), (3.0869, 1.3), (5.3767, 1.3)),
         v2c_quantizer_params=((4.0, 1.0), (8.0, 1.0), (12.0, 1.0)),
         max_iterations=T, qc=qc, layered=True,
         # lean epilogue (int8 bits, no [B,n] posterior) + natural [B,n]
@@ -68,17 +71,20 @@ def main():
         qc_options=dict(fused=True, batch_tile=64, dtype=jnp.bfloat16,
                         lean=True, natural=True))
 
-    B = 8192
+    # B=32768: the batch-scaling A/B (experiments/ee_batch_results.json)
+    # measured 641k cw/s vs 626k at B=16384 and 564-573k at the old
+    # B=8192 — per-wave dispatch/epilogue amortizes; B=65536 exceeds HBM.
+    B = 32768
     snr_db = 7.0  # operating point of this (5,37)-regular rate-0.865 code
     key = jax.random.PRNGKey(0)
     # channel LLRs generated once outside the timed region: the metric is
-    # DECODE throughput (threefry for B*n=78M samples belongs to the
+    # DECODE throughput (threefry for B*n=310M samples belongs to the
     # simulator, not the decoder)
     llrs = [awgn_llr(k, jnp.zeros((B, code.n), jnp.float32), snr_db)
             for k in jax.random.split(key, 3)]
 
     two_ck = ldpc_tpu.make_two_checkpoint_decoder(dec, t1=3,
-                                                  survivor_budget=128)
+                                                  survivor_budget=512)
 
     def wave(llr):
         out, n_surv = two_ck(llr)
@@ -86,10 +92,11 @@ def main():
 
     # warmup / compile (twice: first sync after a fresh compile can lie on
     # remote-attached runtimes) + overflow guard: at 7.0 dB the t1=3
-    # survivor count is 1-3 per 8192 frames (measured), 128 is ~45x margin
+    # survivor count is ~1-4 per 8192 frames (measured), 512 at B=32768
+    # is ~30x margin
     for w in llrs[:2]:
         bits, n_surv = wave(w)
-        assert int(n_surv) <= 128, f"survivor budget overflow: {int(n_surv)}"
+        assert int(n_surv) <= 512, f"survivor budget overflow: {int(n_surv)}"
         np.asarray(jnp.sum(bits))
 
     # best of 3 trials: the remote runtime's first post-warmup trial can
