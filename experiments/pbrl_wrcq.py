@@ -59,8 +59,8 @@ def design_ladder(design_snr: float = 2.6, verbose: bool = True):
         punctured_cols=tuple(punct_cols), init_params=HAND_CN)
     out = {"design_snr": design_snr, "bc": 4, "T": T,
            "params": [list(p) for p in params],
-           "final_error": float(de.error_trajectory[-1]),
-           "error_trajectory": [float(e) for e in de.error_trajectory]}
+           "final_error": float(de.error_prob[-1]),
+           "error_trajectory": [float(e) for e in de.error_prob]}
     with open(DESIGN_PATH, "w") as f:
         json.dump(out, f, indent=2)
     if verbose:
@@ -107,17 +107,21 @@ def _mk_setup():
     return mk, punct_bits, code
 
 
-def train_arms(epochs: int = 30, verbose: bool = True):
-    """TPU phase: train W-OMS-RCQ on hand + designed ladders."""
+def train_arms(epochs: int = 30, verbose: bool = True,
+               tags=("hand", "dde", "ref3")):
+    """TPU phase: train W-OMS-RCQ on each available ladder."""
     from ldpc_tpu.train import PosteriorJointTrainer, TrainingConfig
     from ldpc_tpu.utils.checkpoint import save_checkpoint
 
-    designed = tuple(tuple(p) for p in
-                     json.load(open(DESIGN_PATH))["params"])
     mk, punct_bits, _ = _mk_setup()
     os.makedirs(CK_DIR, exist_ok=True)
     hist = {}
-    for tag, qp in (("hand", HAND_CN), ("dde", designed)):
+    for tag in tags:
+        try:
+            qp = _ladder(tag)
+        except FileNotFoundError:
+            print(f"skip {tag}: design file missing", flush=True)
+            continue
         dec = mk("orcq", qp)
         steps = epochs * (2048 // 128)
         tr = PosteriorJointTrainer(dec, TrainingConfig(
@@ -144,34 +148,54 @@ def _load_trained(tag):
     return load_checkpoint(f"{CK_DIR}/orcq_{tag}")
 
 
+DESIGN3_PATH = "experiments/pbrl_wrcq_design3.json"
+
+
+def _ladder(tag):
+    """Resolve a ladder tag -> CN quantizer params tuple."""
+    if tag == "hand":
+        return HAND_CN
+    if tag == "dde":   # per-iteration dynamic (design_dynamic_quantizers)
+        return tuple(tuple(p) for p in
+                     json.load(open(DESIGN_PATH))["params"])
+    if tag == "ref3":  # 3-phase protograph-refined (refine_ladders_protograph)
+        return tuple(tuple(p) for p in
+                     json.load(open(DESIGN3_PATH))["refined"]["cn"])
+    raise ValueError(tag)
+
+
 def build_arms(which=("rcq-hand", "rcq-dde", "wrcq-hand", "wrcq-dde",
                       "oms6")):
-    designed = None
-    if os.path.exists(DESIGN_PATH):
-        designed = tuple(tuple(p) for p in
-                         json.load(open(DESIGN_PATH))["params"])
     mk, punct_bits, _ = _mk_setup()
     arms = {}
     for name in which:
-        if name == "rcq-hand":
-            arms[name] = mk("rcq", HAND_CN)
-        elif name == "rcq-dde":
-            arms[name] = mk("rcq", designed)
-        elif name == "wrcq-hand":
-            arms[name] = mk("orcq", HAND_CN, trained=_load_trained("hand"))
-        elif name == "wrcq-dde":
-            arms[name] = mk("orcq", designed, trained=_load_trained("dde"))
-        elif name == "oms6":
+        if name == "oms6":
             arms[name] = mk("oms", None)
+            continue
+        kind, tag = name.split("-")
+        qp = _ladder(tag)
+        if kind == "rcq":
+            arms[name] = mk("rcq", qp)
+        else:
+            arms[name] = mk("orcq", qp, trained=_load_trained(tag))
     return arms, punct_bits
 
 
 def dev_fer(frames: int = 2 * 10 ** 7, errors: int = 100,
             snrs=(2.0, 2.4), out_path="experiments/pbrl_wrcq_dev.json",
-            verbose: bool = True):
+            verbose: bool = True, which=None):
     from ldpc_tpu.sim import SimulationConfig, simulate_single_snr
 
-    arms, punct_bits = build_arms()
+    if which is None:
+        which = ["rcq-hand", "oms6"]
+        if os.path.exists(DESIGN_PATH):
+            which += ["rcq-dde"]
+        if os.path.exists(DESIGN3_PATH):
+            which += ["rcq-ref3"]
+        for tag in ("hand", "dde", "ref3"):
+            if os.path.exists(f"{CK_DIR}/orcq_{tag}"):
+                which.append(f"wrcq-{tag}")
+    arms, punct_bits = build_arms(tuple(which))
     results = {}
     for name, dec in arms.items():
         results[name] = {}
