@@ -86,19 +86,19 @@ def _mk_setup():
     if jax.default_backend() == "cpu":
         fused = dict(fused, interpret=True, dtype=jnp.float32)
 
-    def mk(kind, qp, trained=None):
+    def mk(kind, qp, trained=None, vqp=VQP8):
         kw = {} if kind == "rcq" else dict(sharing_type=2)
         if kind == "oms":
             dec = ldpc_tpu.make_decoder(
                 code, kind="oms", sharing_type=2, bv=6,
                 v2c_quantizer_params=VQP6, max_iterations=T, qc=qc,
-                layered=True, qc_options=dict(fused), **{})
+                layered=True, qc_options=dict(fused))
             dec.weights = {"beta": jnp.full_like(dec.weights["beta"], 0.5),
                            "alpha": jnp.zeros_like(dec.weights["alpha"])}
             return dec
         dec = ldpc_tpu.make_decoder(
             code, kind=kind, bc=4, bv=8, quantizer_params=qp,
-            v2c_quantizer_params=VQP8, max_iterations=T, qc=qc,
+            v2c_quantizer_params=vqp, max_iterations=T, qc=qc,
             layered=True, qc_options=dict(fused), **kw)
         if trained is not None:
             dec.weights = {k: jnp.asarray(v) for k, v in trained.items()}
@@ -118,11 +118,11 @@ def train_arms(epochs: int = 30, verbose: bool = True,
     hist = {}
     for tag in tags:
         try:
-            qp = _ladder(tag)
+            qp, vqp = _ladder(tag)
         except FileNotFoundError:
             print(f"skip {tag}: design file missing", flush=True)
             continue
-        dec = mk("orcq", qp)
+        dec = mk("orcq", qp, vqp=vqp)
         steps = epochs * (2048 // 128)
         tr = PosteriorJointTrainer(dec, TrainingConfig(
             batch_size=128, num_epochs=epochs, learning_rate=2e-3,
@@ -152,15 +152,17 @@ DESIGN3_PATH = "experiments/pbrl_wrcq_design3.json"
 
 
 def _ladder(tag):
-    """Resolve a ladder tag -> CN quantizer params tuple."""
+    """Resolve a ladder tag -> (CN params, V2C params)."""
     if tag == "hand":
-        return HAND_CN
-    if tag == "dde":   # per-iteration dynamic (design_dynamic_quantizers)
-        return tuple(tuple(p) for p in
-                     json.load(open(DESIGN_PATH))["params"])
+        return HAND_CN, VQP8
+    if tag == "dde":   # per-iteration dynamic (design_dynamic_quantizers);
+        # designed against the fixed VQP8 internal ladder
+        return (tuple(tuple(p) for p in
+                      json.load(open(DESIGN_PATH))["params"]), VQP8)
     if tag == "ref3":  # 3-phase protograph-refined (refine_ladders_protograph)
-        return tuple(tuple(p) for p in
-                     json.load(open(DESIGN3_PATH))["refined"]["cn"])
+        d = json.load(open(DESIGN3_PATH))["refined"]
+        return (tuple(tuple(p) for p in d["cn"]),
+                tuple(tuple(p) for p in d["v2c"]))
     raise ValueError(tag)
 
 
@@ -173,11 +175,11 @@ def build_arms(which=("rcq-hand", "rcq-dde", "wrcq-hand", "wrcq-dde",
             arms[name] = mk("oms", None)
             continue
         kind, tag = name.split("-")
-        qp = _ladder(tag)
+        qp, vqp = _ladder(tag)
         if kind == "rcq":
-            arms[name] = mk("rcq", qp)
+            arms[name] = mk("rcq", qp, vqp=vqp)
         else:
-            arms[name] = mk("orcq", qp, trained=_load_trained(tag))
+            arms[name] = mk("orcq", qp, trained=_load_trained(tag), vqp=vqp)
     return arms, punct_bits
 
 
