@@ -86,8 +86,9 @@ def _mk_setup():
     if jax.default_backend() == "cpu":
         fused = dict(fused, interpret=True, dtype=jnp.float32)
 
-    def mk(kind, qp, trained=None, vqp=VQP8):
-        kw = {} if kind == "rcq" else dict(sharing_type=2)
+    def mk(kind, qp, trained=None, vqp=VQP8, per_layer=False):
+        kw = ({} if kind == "rcq"
+              else dict(sharing_type=2, per_layer=per_layer))
         if kind == "oms":
             dec = ldpc_tpu.make_decoder(
                 code, kind="oms", sharing_type=2, bv=6,
@@ -122,7 +123,7 @@ def train_arms(epochs: int = 30, verbose: bool = True,
         except FileNotFoundError:
             print(f"skip {tag}: design file missing", flush=True)
             continue
-        dec = mk("orcq", qp, vqp=vqp)
+        dec = mk("orcq", qp, vqp=vqp, per_layer=tag.endswith("pl"))
         steps = epochs * (2048 // 128)
         tr = PosteriorJointTrainer(dec, TrainingConfig(
             batch_size=128, num_epochs=epochs, learning_rate=2e-3,
@@ -159,7 +160,7 @@ def _ladder(tag):
         # designed against the fixed VQP8 internal ladder
         return (tuple(tuple(p) for p in
                       json.load(open(DESIGN_PATH))["params"]), VQP8)
-    if tag == "ref3":  # 3-phase protograph-refined (refine_ladders_protograph)
+    if tag in ("ref3", "ref3pl"):  # 3-phase protograph-refined
         d = json.load(open(DESIGN3_PATH))["refined"]
         return (tuple(tuple(p) for p in d["cn"]),
                 tuple(tuple(p) for p in d["v2c"]))
@@ -179,7 +180,8 @@ def build_arms(which=("rcq-hand", "rcq-dde", "wrcq-hand", "wrcq-dde",
         if kind == "rcq":
             arms[name] = mk("rcq", qp, vqp=vqp)
         else:
-            arms[name] = mk("orcq", qp, trained=_load_trained(tag), vqp=vqp)
+            arms[name] = mk("orcq", qp, trained=_load_trained(tag),
+                            vqp=vqp, per_layer=tag.endswith("pl"))
     return arms, punct_bits
 
 
@@ -194,7 +196,7 @@ def dev_fer(frames: int = 2 * 10 ** 7, errors: int = 100,
             which += ["rcq-dde"]
         if os.path.exists(DESIGN3_PATH):
             which += ["rcq-ref3"]
-        for tag in ("hand", "dde", "ref3"):
+        for tag in ("hand", "dde", "ref3", "ref3pl"):
             if os.path.exists(f"{CK_DIR}/orcq_{tag}"):
                 which.append(f"wrcq-{tag}")
     arms, punct_bits = build_arms(tuple(which))
@@ -254,7 +256,9 @@ if __name__ == "__main__":
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--design-snr", type=float, default=2.6)
     ap.add_argument("--deep-arms", nargs="+",
-                    default=["wrcq-dde", "rcq-dde", "oms6"])
+                    default=["wrcq-ref3", "rcq-ref3", "oms6"])
+    ap.add_argument("--train-tags", nargs="+",
+                    default=["hand", "dde", "ref3"])
     args = ap.parse_args()
 
     from ldpc_tpu.utils.cache import enable_compilation_cache
@@ -265,7 +269,7 @@ if __name__ == "__main__":
     if args.phase in ("design", "all") and not os.path.exists(DESIGN_PATH):
         design_ladder(args.design_snr)
     if args.phase in ("train", "all"):
-        train_arms(args.epochs)
+        train_arms(args.epochs, tags=tuple(args.train_tags))
     if args.phase in ("dev", "all"):
         dev_fer(frames=args.frames)
     if args.phase == "deep":
