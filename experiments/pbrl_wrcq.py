@@ -86,7 +86,7 @@ def _mk_setup():
     if jax.default_backend() == "cpu":
         fused = dict(fused, interpret=True, dtype=jnp.float32)
 
-    def mk(kind, qp, trained=None, vqp=VQP8, per_layer=False):
+    def mk(kind, qp, trained=None, vqp=VQP8, per_layer=False, bc=4):
         kw = ({} if kind == "rcq"
               else dict(sharing_type=2, per_layer=per_layer))
         if kind == "oms":
@@ -98,9 +98,10 @@ def _mk_setup():
                            "alpha": jnp.zeros_like(dec.weights["alpha"])}
             return dec
         dec = ldpc_tpu.make_decoder(
-            code, kind=kind, bc=4, bv=8, quantizer_params=qp,
+            code, kind=kind, bc=bc, bv=8, quantizer_params=qp,
             v2c_quantizer_params=vqp, max_iterations=T, qc=qc,
-            layered=True, qc_options=dict(fused), **kw)
+            layered=True, closed_qdq=(bc >= 5), qc_options=dict(fused),
+            **kw)
         if trained is not None:
             dec.weights = {k: jnp.asarray(v) for k, v in trained.items()}
         return dec
@@ -177,7 +178,9 @@ def build_arms(which=("rcq-hand", "rcq-dde", "wrcq-hand", "wrcq-dde",
             continue
         kind, tag = name.split("-")
         qp, vqp = _ladder(tag)
-        if kind == "rcq":
+        if kind == "rcq5":   # plain RCQ with a 5th C2V bit (closed qdq)
+            arms[name] = mk("rcq", qp, vqp=vqp, bc=5)
+        elif kind == "rcq":
             arms[name] = mk("rcq", qp, vqp=vqp)
         else:
             arms[name] = mk("orcq", qp, trained=_load_trained(tag),
