@@ -63,7 +63,7 @@ def run(frames: int = 2 * 10 ** 7, errors: int = 100,
     cfg = SimulationConfig(
         snr_range=(0, 0), max_frames=frames, max_errors=errors,
         min_frames=0, wave_size=32768, early_exit_iters=2,
-        survivor_budget=4096, stage1_batch_tile=64, seed=11)
+        survivor_budget=4096, stage1_batch_tile=None, seed=11)
     results = {}
     for snr in snrs:
         for name, dec in arms.items():
