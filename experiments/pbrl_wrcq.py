@@ -165,6 +165,10 @@ def _ladder(tag):
         d = json.load(open(DESIGN3_PATH))["refined"]
         return (tuple(tuple(p) for p in d["cn"]),
                 tuple(tuple(p) for p in d["v2c"]))
+    if tag in ("ref2", "ref2pl"):  # second refine pass at 2.0 dB
+        d = json.load(open(DESIGN3_PATH))["refined2"]
+        return (tuple(tuple(p) for p in d["cn"]),
+                tuple(tuple(p) for p in d["v2c"]))
     raise ValueError(tag)
 
 
