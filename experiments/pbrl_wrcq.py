@@ -169,6 +169,10 @@ def _ladder(tag):
         d = json.load(open(DESIGN3_PATH))["refined2"]
         return (tuple(tuple(p) for p in d["cn"]),
                 tuple(tuple(p) for p in d["v2c"]))
+    if tag in ("ref3it", "ref3itpl"):  # third refine pass (iterated)
+        d = json.load(open(DESIGN3_PATH))["refined3"]
+        return (tuple(tuple(p) for p in d["cn"]),
+                tuple(tuple(p) for p in d["v2c"]))
     raise ValueError(tag)
 
 
