@@ -173,6 +173,10 @@ def _ladder(tag):
         d = json.load(open(DESIGN3_PATH))["refined3"]
         return (tuple(tuple(p) for p in d["cn"]),
                 tuple(tuple(p) for p in d["v2c"]))
+    if tag in ("ref4", "ref4pl"):  # fourth refine pass (convergence test)
+        d = json.load(open(DESIGN3_PATH))["refined4"]
+        return (tuple(tuple(p) for p in d["cn"]),
+                tuple(tuple(p) for p in d["v2c"]))
     raise ValueError(tag)
 
 
