@@ -177,6 +177,10 @@ def _ladder(tag):
         d = json.load(open(DESIGN3_PATH))["refined4"]
         return (tuple(tuple(p) for p in d["cn"]),
                 tuple(tuple(p) for p in d["v2c"]))
+    if tag in ("ref5", "ref5pl"):  # fifth refine pass
+        d = json.load(open(DESIGN3_PATH))["refined5"]
+        return (tuple(tuple(p) for p in d["cn"]),
+                tuple(tuple(p) for p in d["v2c"]))
     raise ValueError(tag)
 
 
