@@ -40,18 +40,26 @@ def main(out="images/design_loop_fer.png"):
     # -- panel A: precoded PBRL ------------------------------------------
     s_hand, f_hand = curve("experiments/pbrl_precode_results.json",
                            "precoded-bc4-T10")
-    s_oms, f_oms = curve("experiments/pbrl_precode_results.json",
-                         "precoded-oms6-T10")
     s_w, f_w = curve("experiments/pbrl_wrcq_deep.json", "wrcq-ref3")
-    s_5, f_5 = curve("experiments/pbrl_wrcq_deep.json", "rcq5-ref3")
+    # iterated refine (RESULTS §31) + deepened OMS anchor, if measured
+    final = "experiments/pbrl_wrcq_deep_final.json"
+    if os.path.exists(final):
+        s_i, f_i = curve(final, "rcq-ref3it")
+        s_oms, f_oms = curve(final, "oms6")
+    else:  # fall back to the per-arm checkpoint + round-2 anchor
+        d = json.load(open("experiments/pbrl_wrcq_ck/deep/rcq-ref3it.json"))
+        s_i, f_i = d["snr_values"][:len(d["frame_error_rates"])], \
+            d["frame_error_rates"]
+        s_oms, f_oms = curve("experiments/pbrl_precode_results.json",
+                             "precoded-oms6-T10")
     # drop zero-FER tail points (0 errors) from the OMS anchor
     pts = [(s, f) for s, f in zip(s_oms, f_oms) if f > 0]
     s_oms, f_oms = zip(*pts)
 
     for s, f, c, lab in (
             (s_hand, f_hand, C1, "4-bit RCQ, hand ladder"),
-            (s_w, f_w, C2, "4-bit W-RCQ, designed+trained"),
-            (s_5, f_5, C3, "5-bit RCQ, designed"),
+            (s_w, f_w, C2, "4-bit W-RCQ, designed+trained (1 pass)"),
+            (s_i, f_i, C3, "4-bit RCQ, iterated design (3 passes)"),
             (s_oms, f_oms, C4, "6-bit OMS anchor")):
         ax1.semilogy(s, f, "-o", color=c, lw=2, ms=5, label=lab)
     ax1.set_title("A — precoded PBRL (3096, 1032), layered T=10",
