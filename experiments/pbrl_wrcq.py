@@ -121,8 +121,8 @@ def train_arms(epochs: int = 30, verbose: bool = True,
     for tag in tags:
         try:
             qp, vqp = _ladder(tag)
-        except FileNotFoundError:
-            print(f"skip {tag}: design file missing", flush=True)
+        except (FileNotFoundError, KeyError) as e:
+            print(f"skip {tag}: design missing ({e!r})", flush=True)
             continue
         dec = mk("orcq", qp, vqp=vqp, per_layer=tag.endswith("pl"))
         steps = epochs * (2048 // 128)

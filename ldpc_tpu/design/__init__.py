@@ -13,6 +13,8 @@ from ldpc_tpu.design.dde import (
     density_evolution,
     design_rcq_ladders,
 )
+from ldpc_tpu.design.iterate import (RefineHistory, RefinePass,
+                                     estimate_threshold, iterate_refine)
 from ldpc_tpu.design.proto_dde import (analyze_decoder,
                                        design_dynamic_quantizers,
                                        protograph_density_evolution,
@@ -32,6 +34,10 @@ __all__ = [
     "analyze_decoder",
     "refine_ladders_protograph",
     "design_dynamic_quantizers",
+    "iterate_refine",
+    "estimate_threshold",
+    "RefineHistory",
+    "RefinePass",
     "TrappingSet",
     "TrappingSetReport",
     "find_trapping_sets",

@@ -210,3 +210,76 @@ def test_design_dynamic_quantizers_improves_and_builds():
     llr = awgn_llr(jax.random.PRNGKey(0), jnp.zeros((32, code.n)), 6.0)
     out = dec(llr)
     assert float(jnp.mean(out.success)) > 0.9
+
+
+def test_iterate_refine_threshold_rule():
+    """iterate_refine (design/iterate.py): auto design-SNR, monotone
+    non-increasing thresholds over passes, make_decoder-ready best
+    ladder, and a recognized stopping rule."""
+    from ldpc_tpu.design import iterate_refine
+
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 64, size=(3, 10))
+    qp0 = ((2.0, 1.3), (4.0, 1.3), (6.0, 1.3))
+    vqp0 = ((4.0, 1.0), (8.0, 1.0), (12.0, 1.0))
+    hist = iterate_refine(
+        base, qp0, vqp0, bc=3, bv=8, max_iterations=6, snr_db=None,
+        max_passes=2, sweep=(0.9, 1.1))
+    assert len(hist.passes) >= 2          # pass 0 + at least one refine
+    thrs = [p.threshold_db for p in hist.passes]
+    assert all(b <= a + 1e-9 for a, b in zip(thrs, thrs[1:]))
+    best = hist.best
+    assert len(best.cn) == 3 and len(best.v2c) == 3
+    assert hist.stopped_by in ("threshold", "probe", "fixed_point",
+                               "max_passes")
+    d = hist.to_dict()
+    assert d["best_index"] == best.index
+    assert len(d["passes"]) == len(hist.passes)
+
+
+def test_iterate_refine_probe_stopping():
+    """A dev probe that keeps getting WORSE stops the loop after the
+    first refine pass and pins best at pass 0 — measured evidence
+    overrides DE-threshold descent (the RESULTS 23 overfit guard)."""
+    from ldpc_tpu.design import iterate_refine
+
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 64, size=(3, 10))
+    qp0 = ((2.0, 1.3), (4.0, 1.3), (6.0, 1.3))
+    vqp0 = ((4.0, 1.0), (8.0, 1.0), (12.0, 1.0))
+    calls = []
+
+    def probe(cn, v2c):
+        calls.append((cn, v2c))
+        return float(len(calls))          # strictly increasing = worse
+
+    hist = iterate_refine(
+        base, qp0, vqp0, bc=3, bv=8, max_iterations=6, snr_db=4.0,
+        max_passes=4, sweep=(0.9, 1.1), dev_probe=probe)
+    assert hist.stopped_by in ("probe", "fixed_point")
+    assert hist.best.index == 0
+    assert hist.best.probe == 1.0
+    assert len(calls) == len(hist.passes)
+
+
+def test_estimate_threshold_adaptive_bracket():
+    """estimate_threshold finds the DE threshold without a caller-
+    supplied bracket and agrees with a directly-bisected value."""
+    from ldpc_tpu.design import estimate_threshold
+
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 64, size=(3, 10))
+    qp0 = ((2.0, 1.3), (4.0, 1.3), (6.0, 1.3))
+    vqp0 = ((4.0, 1.0), (8.0, 1.0), (12.0, 1.0))
+    thr = estimate_threshold(base, qp0, vqp0, bc=3, bv=8,
+                             max_iterations=6)
+    assert -2.0 < thr < 12.0
+    # DE converges at thr, fails 0.5 dB below (bisection bracketing)
+    from ldpc_tpu.design.proto_dde import protograph_density_evolution
+    kw = dict(max_iterations=6, kind="rcq", bc=3, quantizer_params=qp0,
+              bv=8, v2c_quantizer_params=vqp0, schedule="layered",
+              grid_step=1.0 / 32.0)
+    assert protograph_density_evolution(
+        base, snr_db=thr + 0.05, **kw).error_prob[-1] <= 1e-7
+    assert protograph_density_evolution(
+        base, snr_db=thr - 0.5, **kw).error_prob[-1] > 1e-7
