@@ -696,6 +696,7 @@ def create_pbrl_qc_protograph(
     ir_taps: int = 3,
     seed: int = 0,
     precode: bool = False,
+    core_rate: Optional[float] = None,
 ):
     """QC-lifted PBRL protograph (paper §VII-C family, k=1032).
 
@@ -727,15 +728,41 @@ def create_pbrl_qc_protograph(
     ``punctured_base_cols`` (base-column indices) expanded to bit
     positions to the simulator's ``punctured_positions`` and to
     ``design.protograph_density_evolution(punctured_cols=...)``.
+
+    ``core_rate`` (precode only) sizes the IRA core for the family's
+    HIGHEST rate instead of this code's rate: with a fixed core, the
+    protograph at any rate ``r`` in ``[rate, core_rate]`` is EXACTLY the
+    leading submatrix of this base — true raptor-like rate
+    compatibility (paper §VII-C trains rate-specific weights on one
+    such k=1032 family at rates 1/3..8/9). Build the family by calling
+    this once per rate with the same ``(k, lift, seed, core_rate)``;
+    nesting is verified in ``tests/test_codes.py``.
     """
     if k % lift:
         raise ValueError(f"k={k} must be a multiple of lift={lift}")
     n = int(round(k / rate))
     if n % lift:
         raise ValueError(f"n={n} (k/rate) must be a multiple of lift={lift}")
+    core_rows = None
+    if core_rate is not None:
+        # real-PBRL family structure: the core is sized for the HIGHEST
+        # rate of the family, and every lower rate is core + IR rows.
+        # With a fixed core, B(r_hi) is EXACTLY the leading submatrix of
+        # B(r_lo) for every core_rate >= r_hi >= r_lo (the prefix-stable
+        # rng makes the draws identical) — true PBRL rate compatibility,
+        # not just same-structure codes. Precode-only: the unprecoded
+        # builder's core has no closing column, so shrinking it changes
+        # the staircase shape.
+        if not precode:
+            raise ValueError("core_rate requires precode=True")
+        n_core = int(round(k / core_rate))
+        if n_core % lift:
+            raise ValueError(f"core n={n_core} (k/core_rate) must be a "
+                             f"multiple of lift={lift}")
+        core_rows = n_core // lift - k // lift
     if precode:
         return _pbrl_qc_precoded(k // lift, n // lift, lift, dv_info,
-                                 ir_taps, seed)
+                                 ir_taps, seed, core_rows=core_rows)
     kb, nb = k // lift, n // lift
     mb = nb - kb
     mb_core = min(mb, kb)
@@ -765,7 +792,8 @@ def create_pbrl_qc_protograph(
 
 
 def _pbrl_qc_precoded(kb: int, nb_tx: int, lift: int, dv_info: int,
-                      ir_taps: int, seed: int):
+                      ir_taps: int, seed: int,
+                      core_rows: Optional[int] = None):
     """Precoded PBRL base (see :func:`create_pbrl_qc_protograph`).
 
     Column layout: [precode (punctured) | kb info | mb_core-1 staircase
@@ -775,12 +803,15 @@ def _pbrl_qc_precoded(kb: int, nb_tx: int, lift: int, dv_info: int,
     bits while transmitting nb_tx*lift symbols — same transmitted rate
     as the unprecoded builder)."""
     mb = nb_tx - kb + 1
-    mb_core = min(mb - 1, kb)
+    mb_core = min(mb - 1, kb if core_rows is None else core_rows)
     n_ir = mb - mb_core
     nb = nb_tx + 1
     if mb_core < 2 or dv_info > mb_core:
         raise ValueError(f"rate too high for a precoded core: mb_core="
                          f"{mb_core}, dv_info={dv_info}")
+    if core_rows is not None and mb - 1 < core_rows:
+        raise ValueError(f"rate above core_rate: mb-1={mb - 1} < "
+                         f"core_rows={core_rows}")
     rng = np.random.default_rng(seed)
     B = np.full((mb, nb), -1, dtype=np.int64)
     # rng consumption is prefix-stable in the rate: core draws first, then

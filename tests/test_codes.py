@@ -351,3 +351,43 @@ def test_pbrl_qc_precoded_rate_compatibility():
                                                    lift=86, precode=True)
     assert p3 == p2 == (0,)
     assert (B3[: B2.shape[0], : B2.shape[1]] == B2).all()
+
+
+def test_pbrl_qc_family_core_rate_nesting():
+    """core_rate pins the IRA core to the family's highest rate, making
+    EVERY rate's protograph the leading submatrix of the mother — the
+    real-PBRL family structure the paper's §VII-C rate-specific table
+    assumes (rates 1/3, 1/2, 2/3, 8/9 at k=1032; lift 43 puts all four
+    on the lift lattice). Each member is full-rank at its nominal k."""
+    import numpy as np
+
+    import ldpc_tpu
+    from ldpc_tpu.codes import create_qc_code, gf2_rank
+
+    rates = (1 / 3, 1 / 2, 2 / 3, 8 / 9)
+    fam = {r: ldpc_tpu.create_pbrl_qc_protograph(
+        k=1032, rate=r, lift=43, precode=True, core_rate=8 / 9)
+        for r in rates}
+    Bm, L, pm = fam[1 / 3]
+    assert Bm.shape == (49, 73) and L == 43 and pm == (0,)
+    for r in rates[1:]:
+        B, _, p = fam[r]
+        assert p == pm
+        assert np.array_equal(B, Bm[:B.shape[0], :B.shape[1]]), r
+    # every member carries exactly k info bits (full-rank H)
+    for r in rates:
+        B = fam[r][0]
+        code = create_qc_code(B, L, max_iterations=10)
+        assert gf2_rank(code.H) == code.n - code.k
+        assert code.k == 1032
+        # transmitted rate (punctured precode column not sent)
+        assert abs(code.k / (code.n - L) - r) < 1e-9
+
+    # rate above the core errors clearly
+    import pytest
+    with pytest.raises(ValueError):
+        ldpc_tpu.create_pbrl_qc_protograph(
+            k=1032, rate=8 / 9, lift=43, precode=True, core_rate=2 / 3)
+    with pytest.raises(ValueError):
+        ldpc_tpu.create_pbrl_qc_protograph(
+            k=1032, rate=1 / 3, lift=43, core_rate=8 / 9)  # no precode
