@@ -4,4 +4,5 @@ from ldpc_tpu.parallel.mesh import (
     make_mesh,
     replicated,
 )
-from ldpc_tpu.parallel.montecarlo import make_spmd_wave_fn
+from ldpc_tpu.parallel.montecarlo import (make_spmd_two_checkpoint_stats_fn,
+                                          make_spmd_wave_fn)

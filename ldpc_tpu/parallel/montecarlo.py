@@ -20,7 +20,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ldpc_tpu.channel import awgn_llr, puncture_llr
 from ldpc_tpu.decode.variants import Decoder
 
-__all__ = ["make_spmd_wave_fn", "make_spmd_compacting_wave_fn"]
+__all__ = ["make_spmd_wave_fn", "make_spmd_compacting_wave_fn",
+           "make_spmd_two_checkpoint_stats_fn"]
 
 
 def make_spmd_wave_fn(decoder: Decoder, wave_size: int, mesh: Mesh,
@@ -159,6 +160,44 @@ def make_spmd_compacting_wave_fn(decoder: Decoder, wave_size: int,
         device_wave, mesh=mesh,
         in_specs=(P(), P(), P()),
         out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_spmd_two_checkpoint_stats_fn(decoder: Decoder, *, t1: int,
+                                      survivor_budget: int, mesh: Mesh,
+                                      axis_name: str = "batch") -> Callable:
+    """The SHIPPED BENCH PROGRAM on the mesh: the exact {t1, T}
+    two-checkpoint construction (``decode.early_exit.
+    make_two_checkpoint_decoder`` — fused stage-1 at t1 iterations,
+    one-hot-matmul survivor compaction, full-depth stage 2) dispatched
+    per device under ``shard_map`` over a BATCH-SHARDED llr tensor.
+
+    ``survivor_budget`` is PER DEVICE (compaction is embarrassingly
+    local; nothing but the five stat scalars crosses the interconnect).
+    Returns ``fn(llr, weights) -> (frame_errors, bit_errors, iter_sum,
+    successes, n_survivors)``, each psum'd over the mesh — bit-equal to
+    the single-device two-checkpoint decode of the same llr batch when
+    no device overflows its budget (tests/test_parallel.py).
+    """
+    from ldpc_tpu.decode.early_exit import make_two_checkpoint_decoder
+
+    two_ck = make_two_checkpoint_decoder(decoder,
+                                         t1=t1,
+                                         survivor_budget=survivor_budget)
+
+    def device_stats(llr, weights):
+        out, n_surv = two_ck(llr, weights)
+        wrong = jnp.sum(out.bits.astype(jnp.int32), axis=-1)
+        stats = (jnp.sum(wrong > 0), jnp.sum(wrong),
+                 jnp.sum(out.iterations), jnp.sum(out.success), n_surv)
+        return tuple(jax.lax.psum(s, axis_name) for s in stats)
+
+    sharded = shard_map(
+        device_stats, mesh=mesh,
+        in_specs=(P(axis_name), P()),
+        out_specs=(P(),) * 5,
         check_vma=False,
     )
     return jax.jit(sharded)

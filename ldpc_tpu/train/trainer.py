@@ -73,6 +73,12 @@ class TrainingConfig:
     # ``create_pbrl_qc_protograph(precode=True)``), so their channel LLR
     # is 0. Matches SimulationConfig.punctured_positions semantics.
     punctured_positions: Tuple[int, ...] = ()
+    # L2 pull of the weight tables toward ZERO (optax.add_decayed_weights
+    # before Adam). For W-RCQ/W-OMS-RCQ the all-zero table IS the plain
+    # designed-ladder decoder, so this decays toward the design point —
+    # the regularizer for training ON an already-refined ladder
+    # (RESULTS §31 item 3 / §33 matched-ladder sweep).
+    weight_decay: float = 0.0
 
 
 def posterior_joint_loss(
@@ -154,6 +160,8 @@ class PosteriorJointTrainer:
                 end_value=cfg.learning_rate * 0.01)
         else:
             raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r}")
+        if cfg.weight_decay:
+            chain.append(optax.add_decayed_weights(cfg.weight_decay))
         chain.append(optax.adam(lr))
         return optax.chain(*chain)
 

@@ -224,3 +224,54 @@ def test_spmd_wave_fused_kernel_decoder():
     b = tuple(int(v) for v in make_spmd_wave_fn(fused, 256, mesh)(
         key, jnp.float32(2.0), dec.weights))
     assert a == b, f"{a} != {b}"
+
+
+def test_spmd_two_checkpoint_matches_single_device():
+    """The SHIPPED BENCH CONFIGURATION on the mesh: a LAYERED fused
+    (lean) kernel wrapped in the {t1, T} two-checkpoint compaction
+    (bench.py's exact construction) dispatched per device under
+    shard_map over a batch-sharded llr — pooled stats bit-equal to the
+    single-device two-checkpoint decode of the same batch."""
+    import dataclasses as _dc
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import ldpc_tpu
+    from jax.sharding import Mesh
+    from ldpc_tpu.channel import awgn_llr
+    from ldpc_tpu.decode.early_exit import make_two_checkpoint_decoder
+    from ldpc_tpu.decode.qc_engine import build_qc_graph
+    from ldpc_tpu.parallel import make_spmd_two_checkpoint_stats_fn
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 16, size=(3, 8))
+    T = 6
+    code = ldpc_tpu.create_qc_code(base, lift=16, max_iterations=T)
+    dec = ldpc_tpu.make_decoder(
+        code, kind="rcq", bc=3, bv=8,
+        quantizer_params=((2.6, 1.3), (3.1, 1.3), (5.4, 1.3)),
+        v2c_quantizer_params=((4.0, 1.0), (8.0, 1.0), (12.0, 1.0)),
+        max_iterations=T, qc=build_qc_graph(base, 16), layered=True,
+        qc_options=dict(fused=True, interpret=True, batch_tile=16,
+                        dtype=jnp.float32, lean=True))
+
+    n_dev = 8
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("batch",))
+    B, S = 16 * n_dev, 16   # per-device budget covers a whole shard
+    llr = awgn_llr(jax.random.PRNGKey(3),
+                   jnp.zeros((B, code.n), jnp.float32), 1.5)
+
+    fn = make_spmd_two_checkpoint_stats_fn(dec, t1=3, survivor_budget=S,
+                                           mesh=mesh)
+    pooled = tuple(int(v) for v in fn(llr, dec.weights))
+
+    out, n_surv = make_two_checkpoint_decoder(dec, t1=3,
+                                              survivor_budget=B)(llr)
+    wrong = jnp.sum(out.bits.astype(jnp.int32), axis=-1)
+    single = (int(jnp.sum(wrong > 0)), int(jnp.sum(wrong)),
+              int(jnp.sum(out.iterations)), int(jnp.sum(out.success)),
+              int(n_surv))
+    assert pooled == single, f"{pooled} != {single}"
+    assert 0 < single[3] < B    # the point is exercised both ways
