@@ -12,10 +12,10 @@ alone. This experiment runs the full family the real-PBRL way:
   the lattice, and ``core_rate`` pins the IRA core so every rate's
   protograph is EXACTLY the leading submatrix of the mother
   (tests/test_codes.py::test_pbrl_qc_family_core_rate_nesting).
-- Per-rate ladder design via ``design.iterate_refine`` (the §32
-  converged-refine loop), seeded from the round-3 fixed point with the
-  V2C reach scaled to the rate's precode-column degree (reach tracks
-  the punctured node's accumulated posterior, RESULTS §25).
+- Per-rate CN-ladder design via ``design.iterate_refine`` (the §32
+  converged-refine loop) on the decision-bias-fixed DE, seeded from the
+  round-3 fixed point's CN ladder. V2C coordinates are decode-neutral
+  in the layered schedule (RESULTS §33), so they stay at 4-8-12.
 - Per-rate adaptive deep-FER scan: walk SNR upward in 0.2 dB steps
   (coarse 0.4 dB while FER > 3e-3) until each arm reaches FER <= 1e-6,
   then report SNR @ FER 1e-6 by log-linear interpolation.
@@ -43,9 +43,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 K, LIFT, CORE_RATE = 1032, 43, 8 / 9
 T, BC, BV = 10, 4, 8
 RATES = {"13": 1 / 3, "12": 1 / 2, "23": 2 / 3, "89": 8 / 9}
-# round-3 converged refine fixed point (RESULTS §32, mb=25 graph)
+# round-3 converged refine fixed point's CN ladder (RESULTS §32). The
+# V2C ladder is DECODE-NEUTRAL in the layered schedule (RESULTS §33:
+# the bv qdq touches only the final posterior, which after the
+# sign-preserving fix cannot change the decision), so the design loop
+# tunes CN only and every arm uses the plain 4-8-12 bv ladder.
 CN_SEED = ((6.797, 1.3), (7.2043, 1.3), (6.5867, 1.3))
-V2C_SEED_PER_MB = (7.3, 12.6, 56.0)   # refined4 v2c / mb(=25)
+VQP8 = ((4.0, 1.0), (8.0, 1.0), (12.0, 1.0))
 VQP6 = ((4.0, 1.0), (8.0, 1.0), (12.0, 1.0))
 DESIGN_PATH = "experiments/pbrl_rates_design_{tag}.json"
 CK_DIR = "experiments/pbrl_rates_ck"
@@ -61,11 +65,10 @@ def family(tag):
 
 
 def seed_ladders(mb: int):
-    v2c = tuple((round(s * mb, 2), 1.0) for s in V2C_SEED_PER_MB)
-    return CN_SEED, v2c
+    return CN_SEED, VQP8
 
 
-def design(tag: str, max_passes: int = 4, grid_step: float = 1 / 16,
+def design(tag: str, max_passes: int = 6, grid_step: float = 1 / 16,
            verbose: bool = True):
     """CPU phase: iterated refine for one rate (parallel-safe per rate)."""
     from ldpc_tpu.design import iterate_refine
@@ -79,7 +82,7 @@ def design(tag: str, max_passes: int = 4, grid_step: float = 1 / 16,
     hist = iterate_refine(
         base, cn0, v2c0, bc=BC, bv=BV, max_iterations=T, snr_db=None,
         schedule="layered", punctured_cols=punct, max_passes=max_passes,
-        min_gain_db=0.02, grid_step=grid_step,
+        min_gain_db=0.01, grid_step=grid_step,
         sweep=(0.5, 0.7, 0.9, 1.1, 1.4, 2.0), verbose=verbose)
     out = {"rate": RATES[tag], "mb": int(base.shape[0]),
            "grid_step": grid_step, **hist.to_dict()}
@@ -305,7 +308,7 @@ if __name__ == "__main__":
     ap.add_argument("--arms", nargs="+", default=["oms6", "rcq-best"])
     ap.add_argument("--frames", type=int, default=5 * 10 ** 7)
     ap.add_argument("--errors", type=int, default=100)
-    ap.add_argument("--max-passes", type=int, default=4)
+    ap.add_argument("--max-passes", type=int, default=6)
     ap.add_argument("--snr-start", type=float, default=None)
     args = ap.parse_args()
 

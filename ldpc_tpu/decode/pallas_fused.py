@@ -48,7 +48,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ldpc_tpu.decode.engine import DecodeResult, VariantSpec
 from ldpc_tpu.decode.qc_engine import QCGraph
-from ldpc_tpu.quantizer import power_qdq, uniform_qdq
+from ldpc_tpu.quantizer import QDQ_SIGN_TINY, power_qdq, uniform_qdq
 
 __all__ = ["qc_fused_decode_batch", "qc_fused_decode_batch_layered",
            "max_batch_tile"]
@@ -139,6 +139,8 @@ def _kernel_qdq(x, t, thr_ref, qp_ref, levels: int, mode: str):
     for j in range(1, levels):
         step = thr_ref[t, j] - thr_ref[t, j - 1]
         snapped = snapped + jnp.where(mag >= thr_ref[t, j], step, 0.0)
+    # sign-preserving dead-zone floor (quantizer.QDQ_SIGN_TINY semantics)
+    snapped = jnp.maximum(snapped, QDQ_SIGN_TINY)
     return jnp.where(x < 0, -snapped, snapped)
 
 

@@ -38,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ldpc_tpu.decode.engine import DecodeResult, VariantSpec, _scan_xs
 from ldpc_tpu.decode.qc_engine import QCGraph, _per_block_weights
-from ldpc_tpu.quantizer import power_qdq
+from ldpc_tpu.quantizer import QDQ_SIGN_TINY, power_qdq
 
 __all__ = ["qc_pallas_decode_batch"]
 
@@ -65,6 +65,8 @@ def _kernel_qdq(x, thr_ref, qp_ref, levels: int):
         for j in range(1, levels):
             step = thr_ref[0, j] - thr_ref[0, j - 1]
             snapped = snapped + jnp.where(mag >= thr_ref[0, j], step, 0.0)
+        # sign-preserving dead-zone floor (quantizer.QDQ_SIGN_TINY)
+        snapped = jnp.maximum(snapped, QDQ_SIGN_TINY)
         return jnp.where(x < 0, -snapped, snapped)
     C = qp_ref[0, 0]
     gamma = qp_ref[0, 1]

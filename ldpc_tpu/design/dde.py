@@ -251,15 +251,30 @@ def _conv_signed(a, b, K):
     return _conv_clip(a, b, K)
 
 
-def _qdq_index_map(values, lut, grid_step, K):
+def _qdq_index_map(values, lut, grid_step, K,
+                   dead_zone_to_min: bool = False):
     """Grid-index map of snap-down-to-threshold quantization (the exact
     ``quantizer.py`` semantics: largest tau_j <= |x|, reconstruct to the
-    threshold)."""
+    threshold).
+
+    ``dead_zone_to_min=True`` models the engines' sign-preserving dead
+    zone (``quantizer.QDQ_SIGN_TINY``): nonzero magnitudes below tau_1
+    keep their sign with an epsilon magnitude, which on the grid is the
+    smallest nonzero bin — without it the ``_signed`` zero slot merges
+    the two signs and the DE's CN sign products (and the bit decision)
+    inherit the old ``-0.0 < 0 == False`` bias that predicted
+    below-capacity "convergence" (docs/RESULTS.md §33). Use it for V2C
+    quantizer maps (signs feed CN products); leave it off for additive
+    consumers (C2V into VN sums), where an epsilon-vs-zero magnitude is
+    exactly absorbed but a grid_step one is not."""
     taus = np.asarray(lut, dtype=np.float64)
     snapped = taus[np.clip(
         np.searchsorted(taus, values + 1e-12, side="right") - 1,
         0, len(taus) - 1)]
-    return np.clip(np.round(snapped / grid_step), 0, K - 1).astype(np.int64)
+    idx = np.clip(np.round(snapped / grid_step), 0, K - 1).astype(np.int64)
+    if dead_zone_to_min:
+        idx[(np.asarray(values) > 0) & (idx == 0)] = 1
+    return idx
 
 
 def _cn_transform_index_map(values, K, grid_step, kind, beta, c_lut):
@@ -311,13 +326,16 @@ def _sched_luts(params, bits, T):
 
 def _bit_error_cut(v_lut, K: int, grid_step: float) -> int:
     """Slice end ``e`` such that ``signed_pmf[:e].sum()`` is the bit
-    error probability under the engines' decision rule: bit =
-    vqdq(posterior) < 0. Snap-down maps |post| < tau1 to +-0 and
-    ``-0.0 < 0`` is false, so with bv active the error mass is the
-    ``post <= -tau1`` tail; without bv it is strictly-negative mass."""
-    if v_lut is not None and len(v_lut) > 1 and float(v_lut[1]) > 0:
-        tau1 = float(v_lut[1])
-        return int(math.floor((K - 1) - tau1 / grid_step + 1e-9)) + 1
+    error probability under the engines' decision rule.
+
+    Since the sign-preserving dead zone (``quantizer.QDQ_SIGN_TINY``),
+    ``bit = vqdq(posterior) < 0`` equals ``posterior < 0`` for every
+    input — the bv qdq changes magnitudes, never the decision — so the
+    error mass is always the strictly-negative tail. (The previous
+    semantics excluded the ``(-tau1, 0]`` region: snap-down produced
+    ``-0.0`` and ``-0.0 < 0`` is false, a decision bias that predicted
+    below-capacity "convergence" for large-reach ladders and broke the
+    all-zero-codeword symmetry argument — docs/RESULTS.md §33.)"""
     return K - 1
 
 
@@ -482,7 +500,8 @@ def density_evolution(
             sums[k_msgs] = s
             return s
 
-        v_map = (_qdq_index_map(values, v_luts[t], grid_step, K)
+        v_map = (_qdq_index_map(values, v_luts[t], grid_step, K,
+                                dead_zone_to_min=True)
                  if v_luts is not None else None)
 
         new_p = np.zeros(K)

@@ -231,7 +231,8 @@ def protograph_density_evolution(
     vn_q = np.zeros(T)
 
     for t in range(T):
-        v_map = (_qdq_index_map(values, v_luts[t], grid_step, K)
+        v_map = (_qdq_index_map(values, v_luts[t], grid_step, K,
+                                dead_zone_to_min=True)
                  if v_luts is not None else None)
         pre_p = np.zeros(K)
         pre_n = np.zeros(K)
@@ -294,9 +295,9 @@ def protograph_density_evolution(
         vn_q[t] = _quantile_mag(pre_vp / len(edges), pre_vn / len(edges),
                                 values, quantile)
 
-        # posterior error per column (bit = engine's posterior < 0 after
-        # the bv qdq: snap-down keeps sign, so error mass is the strictly
-        # sub(-tau1) tail when bv is active)
+        # posterior error per column: with the sign-preserving dead zone
+        # (quantizer.QDQ_SIGN_TINY) the decision is the posterior's sign
+        # regardless of the bv qdq — error mass = strictly-negative tail
         e_sum = 0.0
         neg_cut = _bit_error_cut(v_luts[t] if v_luts is not None else None,
                                  K, grid_step)
@@ -404,6 +405,15 @@ def refine_ladders_protograph(
     qp = [list(p) for p in quantizer_params]
     vqp = ([list(p) for p in v2c_quantizer_params]
            if v2c_quantizer_params is not None else None)
+    # In the LAYERED schedule the bv qdq touches only the final
+    # posterior (qc_engine.qc_decode_batch_layered / pallas_fused
+    # _make_layered_kernel: fresh v2c is never quantized), and since the
+    # sign-preserving dead zone the posterior qdq cannot change the bit
+    # decision either — so V2C ladder coordinates are decode-neutral:
+    # sweeping them burns DE runs on guaranteed no-ops. (Round 3's
+    # measured "V2C reach" gains were the pre-fix decision-bias
+    # artifact — docs/RESULTS.md §33.)
+    sweep_v2c = schedule != "layered"
     lo0, hi0 = snr_db - 3.0, snr_db + 3.0
 
     def threshold(q, v):
@@ -428,7 +438,7 @@ def refine_ladders_protograph(
         return hi
 
     best = threshold(qp, vqp)
-    for lad in ([qp] if vqp is None else [qp, vqp]):
+    for lad in ([qp] if (vqp is None or not sweep_v2c) else [qp, vqp]):
         for p in range(len(lad)):
             for f in sweep:
                 old = lad[p][0]

@@ -11,6 +11,22 @@ Semantics match the reference ``NonUniformQuantizer`` exactly
 - dequantize: value = ``(1 - 2*sign_bit) * tau_idx`` — reconstruction *to the
   threshold itself*, not a midpoint.
 
+One deliberate deviation in the fused qdq forms (``quantize_dequantize``
+and the closed-form/staircase kernels): the reconstructed magnitude is
+floored at ``QDQ_SIGN_TINY`` (1e-30) instead of ``tau_0 = 0``. Hardware
+sign-magnitude words keep the sign bit even at magnitude 0; a float
+``-0.0`` loses it at every ``< 0`` consumer (bit decisions, CN sign
+counts, the syndrome), which makes the decoder ASYMMETRIC inside the
+dead zone ``|x| < tau_1`` — deciding bit 0 for uncertain-but-negative
+posteriors. That breaks the all-zero-codeword symmetry argument Monte
+Carlo relies on, and lets dead-zone bit patterns trivially satisfy the
+syndrome. The 1e-30 floor preserves the sign bit through every compare
+while being exactly absorbed by any add/min against real message
+magnitudes (documented impact: zero measured FER change at operating
+points, experiments/bias_probe.json; design-time DE previously
+predicted below-capacity "convergence" from the biased decision —
+docs/RESULTS.md §33).
+
 Implemented as a branch-free compare-count (equivalent to
 ``searchsorted(..., side='right') - 1``) so it fuses into the surrounding
 decode kernel, plus a straight-through-estimator wrapper for training
@@ -28,6 +44,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = [
+    "QDQ_SIGN_TINY",
     "NonUniformQuantizer",
     "power_thresholds",
     "power_thresholds_for_levels",
@@ -45,6 +62,11 @@ __all__ = [
     "stack_quantizer_params",
     "stack_quantizer_thresholds",
 ]
+
+
+# sign-preserving dead-zone floor (see module docstring): python float so
+# importing never touches a jax backend; representable in bf16 (~9.9e-31)
+QDQ_SIGN_TINY = 1e-30
 
 
 def power_thresholds_for_levels(levels: int, C: float,
@@ -124,6 +146,7 @@ def quantize_dequantize(x: jnp.ndarray, thresholds: jnp.ndarray) -> jnp.ndarray:
     snapped = thresholds[idx] if thresholds.ndim == 1 else jnp.take_along_axis(
         thresholds, idx[..., None], axis=-1
     )[..., 0]
+    snapped = jnp.maximum(snapped, QDQ_SIGN_TINY)  # sign-preserving dead zone
     sign = jnp.where(x < 0, -1.0, 1.0)
     return sign * snapped
 
@@ -160,6 +183,7 @@ def staircase_qdq(x: jnp.ndarray, thresholds: jnp.ndarray) -> jnp.ndarray:
     for j in range(1, L):
         step = thresholds[j] - thresholds[j - 1]
         snapped = snapped + jnp.where(mag >= thresholds[j], step, 0.0)
+    snapped = jnp.maximum(snapped, QDQ_SIGN_TINY)  # sign-preserving dead zone
     return jnp.where(x < 0, -snapped, snapped)
 
 
@@ -200,7 +224,8 @@ def power_qdq(x: jnp.ndarray, C, gamma, levels: int) -> jnp.ndarray:
     # correct a one-high index: our own threshold may exceed mag
     down = C * (idx / M) ** gamma
     idx = jnp.where(mag < down, jnp.maximum(idx - 1.0, 0.0), idx)
-    snapped = C * (idx / M) ** gamma
+    snapped = jnp.maximum(C * (idx / M) ** gamma,
+                          QDQ_SIGN_TINY)   # sign-preserving dead zone
     return jnp.where(x < 0, -snapped, snapped)
 
 
@@ -226,7 +251,8 @@ def uniform_qdq(x: jnp.ndarray, C, levels: int) -> jnp.ndarray:
     idx = jnp.where((mag >= up) & (idx < M), idx + 1.0, idx)
     down = idx * step
     idx = jnp.where(mag < down, jnp.maximum(idx - 1.0, 0.0), idx)
-    snapped = idx * step
+    snapped = jnp.maximum(idx * step,
+                          QDQ_SIGN_TINY)   # sign-preserving dead zone
     return jnp.where(x < 0, -snapped, snapped)
 
 

@@ -144,7 +144,12 @@ def _np_qdq(bc, quantizer_params, T):
         thr = luts[sched[t]]
         mag = np.abs(x)
         idx = np.maximum((mag[..., None] >= thr).sum(-1) - 1, 0)
-        return np.where(x < 0, -1.0, 1.0) * thr[idx]
+        # sign-preserving dead-zone floor (quantizer.QDQ_SIGN_TINY):
+        # the sign bit survives magnitude-0 quantization, as in
+        # sign-magnitude hardware
+        from ldpc_tpu.quantizer import QDQ_SIGN_TINY
+        return (np.where(x < 0, -1.0, 1.0)
+                * np.maximum(thr[idx], QDQ_SIGN_TINY))
 
     return qdq
 

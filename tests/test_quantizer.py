@@ -56,7 +56,13 @@ def test_qdq_matches_quantize_dequantize():
     x = jnp.array([-6.0, -5.0, -0.1, 0.0, 0.1, 0.96, 0.97, 2.72, 5.0, 6.0])
     fused = np.asarray(q(x))
     explicit = np.asarray(q.dequantize(q.quantize(x)))
-    np.testing.assert_allclose(fused, explicit, atol=0)
+    # the fused forms floor the dead zone at QDQ_SIGN_TINY so the sign
+    # survives < 0 consumers (quantizer.py module docstring); the
+    # int-code round trip stays reference-exact (+-0.0 — whose float
+    # sign bit also matches the input's sign)
+    from ldpc_tpu.quantizer import QDQ_SIGN_TINY
+    np.testing.assert_allclose(fused, explicit, atol=QDQ_SIGN_TINY)
+    np.testing.assert_array_equal(np.signbit(fused), np.asarray(x) < 0)
 
 
 def test_exact_threshold_values_snap_up():
