@@ -12,6 +12,13 @@ SURVEY §8.6). Colors: the dataviz reference categorical palette, fixed
 slot order per entity.
 
     python experiments/fig_round3.py
+
+RETRACTED (2026-08-20): panel A's quantized-arm curves (wrcq-ref3,
+rcq-ref3it) were measured with the dead-zone decision bias and are
+retracted — see docs/RESULTS.md §33/§33a. The generator is kept for
+history; do not regenerate panel A from the biased JSONs. Panel B
+(bench code, small-reach bv ladders) stands. An honest round-4 figure
+replaces this once the post-fix campaign lands.
 """
 
 import json

@@ -221,3 +221,44 @@ def generate_de_figure(out_dir: str = "images", verbose: bool = True):
     if verbose:
         print(f"wrote {path}")
     return path
+
+
+def generate_trapping_figure(out_dir: str = "images",
+                             verbose: bool = True):
+    """Trapping-set min-b fingerprints of all measured codes (RESULTS
+    SS19), from ``experiments/trapping_spectrum_results.json`` (the
+    ``ldpc_tpu.design.trapping_set_profile`` output — measured
+    structure, not simulation)."""
+    import json
+    import os
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open("experiments/trapping_spectrum_results.json") as f:
+        data = json.load(f)
+
+    fig, ax = plt.subplots(figsize=(7.2, 4.6))
+    markers = ["o", "s", "^", "v", "D"]
+    for (name, d), m in zip(sorted(data.items()), markers):
+        fp = {int(a): b for a, b in d["min_b_fingerprint"].items()
+              if b is not None}
+        if not fp:
+            continue
+        xs = sorted(fp)
+        ax.plot(xs, [fp[a] for a in xs], marker=m, label=name)
+    ax.set_xlabel("trapping-set size a (variable nodes)")
+    ax.set_ylabel("min b found (unsatisfied checks)")
+    ax.set_title("Trapping-set min-b fingerprints "
+                 "(design.trapping_set_profile, greedy+exact verify)")
+    ax.grid(True, alpha=0.3)
+    ax.legend(fontsize=8)
+    path = os.path.join(out_dir, "trapping_fingerprints.png")
+    fig.tight_layout()
+    fig.savefig(path, dpi=130)
+    plt.close(fig)
+    if verbose:
+        print(f"wrote {path}")
+    return path
