@@ -1,0 +1,154 @@
+"""Paper §VII-B quantizer-count rule: 2 quantizer pairs floor, 3 don't.
+
+The paper's one result that validates §VI's "add a quantizer" design
+rule end-to-end (``/root/reference/2310.15483v2.pdf`` §VII-B, BASELINE
+Tier C): a 3-bit decoder with only Q=2 C2V quantizer pairs develops an
+error floor near FER 1e-7 that the Q=3 version does not. The engines'
+``phase_schedule(T, Q)`` assigns ladder phases by thirds/halves, so the
+arms differ ONLY in how many (C, gamma) pairs the schedule cycles
+through.
+
+Protocol (bench (9472,8192)-class QC code, layered T=6, bc=3/bv=8,
+honest post-§33 semantics):
+
+- q3: the shipped DDE-designed 3-pair ladder (2.65-3.09-5.38 @1.3) —
+  its no-floor deep curve to 2e-8 is already measured (RESULTS §27);
+  re-measured here on the same grid as q2 for a same-harness contrast.
+- q2: a 2-pair ladder designed by the same honest pipeline
+  (``iterate_refine`` on the bench protograph, layered, CN-only).
+- deep FER 6.0..7.8 dB step 0.2, 50 errors or 1e9 frames per point —
+  at ~600k cw/s a 5e8-frame point is ~15 min, so the 1e-7..1e-8 regime
+  is directly reachable. If a q2 floor appears, diagnose it with
+  ``design.find_trapping_sets`` + ``sim.estimate_trapping_floor``
+  (the experiments/floor_is.py harness).
+
+    python experiments/quantizer_count.py --phase design   # CPU
+    python experiments/quantizer_count.py --phase deep     # TPU
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+T, BC, BV = 6, 3, 8
+LIFT = 256
+Q3_CN = ((2.6474, 1.3), (3.0869, 1.3), (5.3767, 1.3))  # bench DDE ladder
+VQP = ((4.0, 1.0), (8.0, 1.0), (12.0, 1.0))
+DESIGN_PATH = "experiments/quantizer_count_design.json"
+CK_DIR = "experiments/quantizer_count_ck"
+OUT = "experiments/quantizer_count_results.json"
+
+
+def bench_base():
+    rng = np.random.default_rng(0)
+    return rng.integers(0, 256, size=(5, 37))
+
+
+def design(max_passes: int = 4, verbose: bool = True):
+    """CPU: 2-pair CN ladder for the bench protograph, honest refine.
+
+    Seed = the DDE ladder's outer pair (first, last): the schedule
+    splits T=6 into halves, so pair 1 covers iterations 0-2 (early,
+    small messages) and pair 2 covers 3-5 (converged, large)."""
+    from ldpc_tpu.design import iterate_refine
+
+    hist = iterate_refine(
+        bench_base(), ((2.6474, 1.3), (5.3767, 1.3)), VQP, bc=BC, bv=BV,
+        max_iterations=T, snr_db=None, schedule="layered",
+        max_passes=max_passes, min_gain_db=0.01, grid_step=1 / 32,
+        sweep=(0.6, 0.8, 0.9, 1.1, 1.25, 1.6), verbose=verbose)
+    out = hist.to_dict()
+    with open(DESIGN_PATH, "w") as f:
+        json.dump(out, f, indent=2)
+    print(f"q2 design: best pass {hist.best.index} "
+          f"thr {hist.best.threshold_db:.3f} ({hist.stopped_by})",
+          flush=True)
+    return out
+
+
+def _mk(arm):
+    import jax
+    import jax.numpy as jnp
+
+    import ldpc_tpu
+    from ldpc_tpu.decode.qc_engine import build_qc_graph
+
+    base = bench_base()
+    code = ldpc_tpu.create_qc_code(base, lift=LIFT, max_iterations=T)
+    qc = build_qc_graph(base, LIFT)
+    fused = dict(fused=True, batch_tile=64, dtype=jnp.bfloat16,
+                 lean=True, natural=True)
+    if jax.default_backend() == "cpu":
+        fused = dict(fused=True, batch_tile=16, dtype=jnp.float32,
+                     interpret=True, lean=True)
+    if arm == "rcq-q3":
+        qp = Q3_CN
+    elif arm == "rcq-q2":
+        d = json.load(open(DESIGN_PATH))
+        qp = tuple(tuple(x) for x in d["passes"][d["best_index"]]["cn"])
+    else:
+        raise ValueError(arm)
+    return ldpc_tpu.make_decoder(
+        code, kind="rcq", bc=BC, bv=BV, quantizer_params=qp,
+        v2c_quantizer_params=VQP, max_iterations=T, qc=qc, layered=True,
+        qc_options=dict(fused)), code
+
+
+def deep(arms=("rcq-q2", "rcq-q3"), snr_lo=6.0, snr_hi=7.8,
+         snr_step=0.2, errors=50, frames=10 ** 9, verbose=True):
+    from ldpc_tpu.sim import SimulationConfig, simulate_single_snr
+
+    os.makedirs(CK_DIR, exist_ok=True)
+    results = {}
+    if os.path.exists(OUT):
+        results = json.load(open(OUT))
+    for arm in arms:
+        dec, code = _mk(arm)
+        pts = results.setdefault(arm, {})
+        snr = snr_lo
+        while snr <= snr_hi + 1e-9:
+            key = f"{snr:.1f}"
+            if key not in pts:
+                cfg = SimulationConfig(
+                    snr_range=(snr, snr), max_frames=frames,
+                    max_errors=errors, min_frames=65536,
+                    wave_size=32768, early_exit_iters=3,
+                    survivor_budget=4096, save_results=False)
+                fer, ber, it, nf, ne = simulate_single_snr(dec, snr, cfg)
+                pts[key] = {"fer": fer, "frames": nf, "errors": ne}
+                with open(OUT, "w") as f:
+                    json.dump(results, f, indent=2)
+                if verbose:
+                    print(f"{arm} @ {snr:.1f}: FER {fer:.3e} ({ne}/{nf})",
+                          flush=True)
+                if ne == 0:
+                    break
+            snr = round(snr + snr_step, 10)
+    return results
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--phase", choices=["design", "deep"],
+                    required=True)
+    ap.add_argument("--errors", type=int, default=50)
+    ap.add_argument("--frames", type=int, default=10 ** 9)
+    args = ap.parse_args()
+
+    if args.phase == "design":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        design()
+    else:
+        from ldpc_tpu.utils.cache import enable_compilation_cache
+        enable_compilation_cache()
+        import logging
+        logging.basicConfig(level=logging.INFO, force=True)
+        deep(errors=args.errors, frames=args.frames)
