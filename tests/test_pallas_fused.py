@@ -153,10 +153,21 @@ def test_fused_layered_matches_engine_trajectory():
     from ldpc_tpu.decode.qc_engine import qc_decode_batch_layered
 
     T = 5
+    # wrcq/nms cover the VN-side alpha scaling (alpha_in_cn=False) the
+    # round-4 wrcq-dud investigation found untested in the LAYERED
+    # fused kernel (orcq covers the CN-side alpha). NOTE the parity
+    # contract is per-iteration to float tolerance: the two paths
+    # accumulate colsum in different op orders, so chaotically fragile
+    # weight configs can diverge macroscopically over many iterations
+    # (RESULTS §33b item 4) — that is a property of the weights, not
+    # an engine bug.
     for kw in (dict(kind="ms", factor=0.7),
                dict(kind="rcq", bc=3, bv=8,
                     quantizer_params=((3.0, 1.3), (5.0, 1.3), (7.0, 1.3))),
-               dict(kind="orcq", bc=3, sharing_type=2, seed=3)):
+               dict(kind="orcq", bc=3, sharing_type=2, seed=3),
+               dict(kind="wrcq", bc=3, sharing_type=2, seed=6,
+                    quantizer_params=((3.0, 1.3), (5.0, 1.3), (7.0, 1.3))),
+               dict(kind="nms", sharing_type=2, seed=1, init="nms")):
         code, qc, dec = _setup(3, 7, 16, T, base_seed=4, density=0.85, **kw)
         llr = awgn_llr(jax.random.PRNGKey(6), jnp.zeros((32, code.n)), 2.5)
         ref = qc_decode_batch_layered(llr, dec.weights, qc=qc, spec=dec.spec,
