@@ -49,6 +49,11 @@ RATES = {"13": 1 / 3, "12": 1 / 2, "23": 2 / 3, "89": 8 / 9}
 # sign-preserving fix cannot change the decision), so the design loop
 # tunes CN only and every arm uses the plain 4-8-12 bv ladder.
 CN_SEED = ((6.797, 1.3), (7.2043, 1.3), (6.5867, 1.3))
+# per-rate seed scale: channel LLRs grow as 10^(snr/10) with the
+# operating Es/N0, so the rate-1/3 fixed point's reach must scale up at
+# the higher rates or the initial DE threshold lands several dB high
+# (first launch measured 11.2-13 dB caps at rates 1/2..8/9 unscaled)
+SEED_SCALE = {"13": 1.0, "12": 1.4, "23": 2.0, "89": 4.0}
 VQP8 = ((4.0, 1.0), (8.0, 1.0), (12.0, 1.0))
 VQP6 = ((4.0, 1.0), (8.0, 1.0), (12.0, 1.0))
 DESIGN_PATH = "experiments/pbrl_rates_design_{tag}.json"
@@ -64,8 +69,9 @@ def family(tag):
     return base, lift, punct
 
 
-def seed_ladders(mb: int):
-    return CN_SEED, VQP8
+def seed_ladders(tag: str):
+    s = SEED_SCALE[tag]
+    return tuple((round(c * s, 4), g) for c, g in CN_SEED), VQP8
 
 
 def design(tag: str, max_passes: int = 6, grid_step: float = 1 / 16,
@@ -74,7 +80,7 @@ def design(tag: str, max_passes: int = 6, grid_step: float = 1 / 16,
     from ldpc_tpu.design import iterate_refine
 
     base, lift, punct = family(tag)
-    cn0, v2c0 = seed_ladders(base.shape[0])
+    cn0, v2c0 = seed_ladders(tag)
     # the rate-1/3 grid is dominated by the deg-49 punctured column;
     # 1/8 LLR still gives ~7 grid points per CN quantizer bin
     if tag == "13":
@@ -125,7 +131,7 @@ def _mk_setup(tag):
                            "alpha": jnp.zeros_like(dec.weights["alpha"])}
             return dec
         if arm == "rcq-seed":
-            qp, vqp = seed_ladders(base.shape[0])
+            qp, vqp = seed_ladders(tag)
         elif arm == "rcq-best":
             d = _load_design(tag)
             p = d["passes"][d["best_index"]]
@@ -173,7 +179,9 @@ def train(tag: str, epochs: int = 30, verbose: bool = True):
 
     _, punct_bits, _ = _mk_setup(tag)
     d = _load_design(tag)
-    thr = d["passes"][d["best_index"]]["threshold_db"]
+    bp = d["passes"][d["best_index"]]
+    thr = (bp.get("window_db") or bp["threshold_db"]) \
+        if bp["threshold_db"] >= 12.9 else bp["threshold_db"]
     base, lift, _ = family(tag)
     p = d["passes"][d["best_index"]]
     fused = dict(fused=True, batch_tile=None, dtype=jnp.bfloat16)
@@ -234,6 +242,13 @@ def _scan_arm(tag, arm, dec, punct_bits, snr_start, *, frames, errors,
         return points[key]
 
     snr = snr_start
+    # if the start overshot the waterfall (DE thresholds on punctured
+    # graphs can be off either way), walk DOWN until the FER is coarse
+    for _ in range(12):
+        p = measure(round(snr, 1), min(frames, 2 * 10 ** 6), errors)
+        if p["fer"] >= 3e-4 or snr <= snr_start - 4.8:
+            break
+        snr -= 0.4
     # coarse walk: cheap caps, find the waterfall
     for _ in range(16):
         p = measure(round(snr, 1), min(frames, 2 * 10 ** 6), errors)
@@ -255,9 +270,13 @@ def deep(tag: str, arms, snr_start=None, frames=5 * 10 ** 7,
     mk, punct_bits, _ = _mk_setup(tag)
     if snr_start is None:
         d = _load_design(tag)
-        # pass-0 threshold is DE-optimistic on punctured graphs; start
-        # 0.2 dB above it and let the coarse walk find the waterfall
-        snr_start = round(d["passes"][0]["threshold_db"] + 0.2, 1)
+        # anchor on the BEST pass (CLAUDE.md rule): its threshold in the
+        # converging regime, else its convergence-window bottom; the
+        # coarse walk (both directions) finds the real waterfall
+        p = d["passes"][d["best_index"]]
+        cap = p["threshold_db"] >= 12.9
+        snr_start = round((p.get("window_db") or p["threshold_db"])
+                          if cap else p["threshold_db"] + 0.2, 1)
     for arm in arms:
         _scan_arm(tag, arm, mk(arm), punct_bits, snr_start,
                   frames=frames, errors=errors, verbose=verbose)

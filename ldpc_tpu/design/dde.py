@@ -363,6 +363,10 @@ class DEResult:
     # set by design_rcq_ladders: the designed ladder's DE convergence
     # threshold (lowest SNR whose final error < 1e-7 within T iterations)
     threshold_db: Optional[float] = None
+    # protograph DE only: per-base-column posterior error after the
+    # final iteration (error_prob[-1] == col_error.mean()) — localizes
+    # a DE floor to the columns that hold it
+    col_error: Optional[np.ndarray] = None
 
 
 def _quantile_mag(pos, neg, values, q):

@@ -38,6 +38,12 @@ class RefinePass:
     v2c: Optional[Tuple[Tuple[float, float], ...]]
     threshold_db: float
     probe: Optional[float] = None
+    # final DE error at this pass's design SNR — the objective value in
+    # floor mode (quantization-floor regime: no SNR converges below eps)
+    de_floor: Optional[float] = None
+    # floor mode: the convergence-window bottom (scanned SNR with the
+    # lowest final error) — the natural MC-scan start for this ladder
+    window_db: Optional[float] = None
 
     def to_dict(self):
         return {"index": self.index,
@@ -45,7 +51,9 @@ class RefinePass:
                 "v2c": ([list(p) for p in self.v2c]
                         if self.v2c is not None else None),
                 "threshold_db": self.threshold_db,
-                "probe": self.probe}
+                "probe": self.probe,
+                "de_floor": self.de_floor,
+                "window_db": self.window_db}
 
 
 @dataclass
@@ -68,7 +76,12 @@ class RefineHistory:
         have_probe = [p for p in self.passes if p.probe is not None]
         if have_probe:
             return min(have_probe, key=lambda p: p.probe)
-        return min(self.passes, key=lambda p: p.threshold_db)
+        # lowest threshold wins; among equal (e.g. all capped in the
+        # floor regime) the lowest DE floor breaks the tie
+        return min(self.passes,
+                   key=lambda p: (p.threshold_db,
+                                  p.de_floor if p.de_floor is not None
+                                  else float("inf")))
 
     def to_dict(self):
         return {"passes": [p.to_dict() for p in self.passes],
@@ -92,7 +105,8 @@ def estimate_threshold(
     snr_hi: float = 12.0,
     coarse_step: float = 1.0,
     bisections: int = 7,
-) -> float:
+    return_scan: bool = False,
+):
     """DE threshold of a fixed ladder with an ADAPTIVE bracket.
 
     :func:`refine_ladders_protograph` bisects inside ``snr_db +- 3`` —
@@ -100,6 +114,12 @@ def estimate_threshold(
     rate/code. This scans ``[snr_lo, snr_hi]`` coarsely for the first
     converging SNR, then bisects. Returns ``snr_hi + 1`` if nothing in
     the range converges (caller should widen or fix the ladder).
+
+    ``return_scan=True`` returns ``(threshold, scan)`` where ``scan`` is
+    the list of ``(snr, final_error)`` coarse points evaluated — in the
+    non-converging (quantization-floor) case its argmin is the
+    convergence-window bottom, the natural design SNR for floor-mode
+    refinement.
     """
     kw = dict(schedule=schedule, max_iterations=max_iterations,
               kind="rcq", bc=bc,
@@ -109,28 +129,33 @@ def estimate_threshold(
                   tuple(tuple(p) for p in v2c_quantizer_params)
                   if v2c_quantizer_params is not None else None),
               punctured_cols=tuple(punctured_cols), grid_step=grid_step)
+    scan = []
 
-    def fails(snr):
-        return protograph_density_evolution(
-            base, snr_db=snr, **kw).error_prob[-1] > eps
+    def err(snr):
+        e = float(protograph_density_evolution(
+            base, snr_db=snr, **kw).error_prob[-1])
+        scan.append((float(snr), e))
+        return e
 
     hi = None
     s = snr_lo
     while s <= snr_hi + 1e-9:
-        if not fails(s):
+        if err(s) <= eps:
             hi = s
             break
         s += coarse_step
     if hi is None:
-        return snr_hi + 1.0
-    lo = hi - coarse_step
-    for _ in range(bisections):
-        mid = 0.5 * (lo + hi)
-        if fails(mid):
-            lo = mid
-        else:
-            hi = mid
-    return float(hi)
+        thr = snr_hi + 1.0
+    else:
+        lo = hi - coarse_step
+        for _ in range(bisections):
+            mid = 0.5 * (lo + hi)
+            if err(mid) > eps:
+                lo = mid
+            else:
+                hi = mid
+        thr = float(hi)
+    return (thr, scan) if return_scan else thr
 
 
 def iterate_refine(
@@ -146,20 +171,28 @@ def iterate_refine(
     punctured_cols: Sequence[int] = (),
     max_passes: int = 6,
     min_gain_db: float = 0.01,
+    min_floor_gain: float = 0.1,
     dev_probe: Optional[Callable[[Tuple, Optional[Tuple]], float]] = None,
     grid_step: float = 1.0 / 32.0,
     sweep: Sequence[float] = (0.8, 0.9, 1.1, 1.25),
+    gammas: Optional[Sequence[float]] = (1.15, 1.3, 1.5, 1.8, 2.2),
     eps: float = 1e-7,
+    snr_scan: Tuple[float, float] = (-2.0, 12.0),
     verbose: bool = False,
 ) -> RefineHistory:
     """Run :func:`refine_ladders_protograph` passes until they stop paying.
 
     Parameters beyond the single-pass refiner's:
 
-    - ``snr_db``: design/bracket SNR. ``None`` auto-estimates the initial
-      ladder's DE threshold (:func:`estimate_threshold`) and designs
-      there — the round-3 protocol (design AT the threshold, RESULTS
-      §31) without hand-picking the operating point per rate.
+    - ``snr_db``: design/bracket SNR for pass 1. ``None`` auto-estimates
+      the initial ladder's DE threshold (:func:`estimate_threshold`) and
+      designs there — the round-3 protocol (design AT the threshold,
+      RESULTS §31) without hand-picking the operating point per rate.
+      Every LATER pass re-anchors at the previous pass's threshold (the
+      round-3 scratch-loop behavior, and CLAUDE.md's "anchor on the best
+      pass's threshold, never pass-0's"): a badly seeded ladder whose
+      initial threshold is several dB off still walks down to the true
+      operating point instead of polishing at the wrong SNR.
     - ``max_passes`` / ``min_gain_db``: threshold-based stopping — stop
       when a pass improves the DE threshold by less than ``min_gain_db``
       (or changes nothing: fixed point).
@@ -169,6 +202,18 @@ def iterate_refine(
       ``history.best`` switches from lowest-threshold to lowest-probe.
       This encodes the guide rule that DE-threshold descent can overfit
       (RESULTS §23 dynamic ladders): measured evidence overrides DE.
+
+    FLOOR MODE (automatic): when NO SNR in ``snr_scan`` converges below
+    ``eps`` — the quantization-floor regime, e.g. 4-bit CN ladders on
+    graphs with degree-1 IR bits where dead-zone mass leaves them
+    channel-limited — threshold descent is blind. The loop then designs
+    with ``objective="floor"`` at the convergence-window bottom (the
+    scanned SNR with the lowest final error), re-anchoring the window
+    each pass, and switches back to threshold mode as soon as a pass's
+    ladder converges somewhere. Floor passes stop when the relative
+    floor improvement drops below ``min_floor_gain`` (``stopped_by ==
+    "floor"``). ``gammas`` extends the per-pair sweep to the exponent —
+    the dead-zone knob — and is essential in floor mode.
 
     Returns a :class:`RefineHistory`; ``history.best.cn`` /
     ``history.best.v2c`` feed straight into ``make_decoder``'s
@@ -180,37 +225,59 @@ def iterate_refine(
     common = dict(bc=bc, bv=bv, max_iterations=max_iterations,
                   schedule=schedule, punctured_cols=tuple(punctured_cols),
                   grid_step=grid_step, eps=eps)
+    cap = snr_scan[1] + 1.0
 
-    if snr_db is None:
-        snr_db = estimate_threshold(base, cn, v2c, **common)
-        if verbose:
-            print(f"iterate_refine: auto design SNR = {snr_db:.3f} dB "
-                  f"(initial-ladder DE threshold)", flush=True)
+    def scan_ladder(c, v):
+        """(threshold, window-bottom snr, window-bottom err)."""
+        thr, pts = estimate_threshold(
+            base, c, v, snr_lo=snr_scan[0], snr_hi=snr_scan[1],
+            return_scan=True, **common)
+        bot_snr, bot_err = min(pts, key=lambda p: p[1])
+        return thr, bot_snr, bot_err
 
-    # threshold of the initial ladder inside the refiner's bracket, so
-    # pass-over-pass gains are measured on one consistent scale
-    thr0 = estimate_threshold(base, cn, v2c, snr_lo=snr_db - 3.0,
-                              snr_hi=snr_db + 3.0, coarse_step=6.0,
-                              **common)
+    thr0, bot_snr, bot_err = scan_ladder(cn, v2c)
+    floor_mode = thr0 >= cap
+    anchor = (snr_db if snr_db is not None
+              else (bot_snr if floor_mode else thr0))
+    if verbose:
+        print(f"iterate_refine: auto design SNR = {anchor:.3f} dB "
+              + ("(window bottom — FLOOR mode, no SNR converges)"
+                 if floor_mode else "(initial-ladder DE threshold)"),
+              flush=True)
+
     hist = RefineHistory()
-    p0 = RefinePass(0, cn, v2c, float(thr0))
+    p0 = RefinePass(0, cn, v2c, float(thr0), de_floor=float(bot_err),
+                    window_db=float(bot_snr))
     if dev_probe is not None:
         p0.probe = float(dev_probe(cn, v2c))
     hist.passes.append(p0)
     if verbose:
-        print(f"pass 0: thr {thr0:.4f} dB probe {p0.probe}", flush=True)
+        print(f"pass 0: thr {thr0:.4f} dB floor {bot_err:.3e} "
+              f"probe {p0.probe}", flush=True)
 
     for i in range(1, max_passes + 1):
         prev = hist.passes[-1]
-        cn_i, v2c_i, thr_i = refine_ladders_protograph(
-            base, prev.cn, prev.v2c, snr_db=snr_db, sweep=sweep, **common)
-        cur = RefinePass(i, cn_i, v2c_i, float(thr_i))
+        cn_i, v2c_i, score = refine_ladders_protograph(
+            base, prev.cn, prev.v2c, snr_db=anchor, sweep=sweep,
+            gammas=gammas,
+            objective="floor" if floor_mode else "threshold", **common)
+        if floor_mode:
+            # re-scan: did this pass open a convergence window?
+            thr_i, bot_snr, bot_err = scan_ladder(cn_i, v2c_i)
+            cur = RefinePass(i, cn_i, v2c_i, float(thr_i),
+                             de_floor=float(bot_err),
+                             window_db=float(bot_snr))
+        else:
+            thr_i = score
+            cur = RefinePass(i, cn_i, v2c_i, float(thr_i))
         if dev_probe is not None:
             cur.probe = float(dev_probe(cn_i, v2c_i))
         hist.passes.append(cur)
         if verbose:
-            print(f"pass {i}: thr {thr_i:.4f} dB probe {cur.probe}",
-                  flush=True)
+            print(f"pass {i}: thr {thr_i:.4f} dB"
+                  + (f" floor {cur.de_floor:.3e}"
+                     if cur.de_floor is not None else "")
+                  + f" probe {cur.probe}", flush=True)
         if cn_i == prev.cn and v2c_i == prev.v2c:
             hist.stopped_by = "fixed_point"
             break
@@ -218,7 +285,20 @@ def iterate_refine(
                 and cur.probe > prev.probe):
             hist.stopped_by = "probe"
             break
-        if prev.threshold_db - cur.threshold_db < min_gain_db:
-            hist.stopped_by = "threshold"
-            break
+        if floor_mode:
+            if thr_i < cap:           # window opened: threshold regime
+                floor_mode = False
+                anchor = thr_i
+            elif (prev.de_floor is not None and cur.de_floor is not None
+                    and cur.de_floor > (1.0 - min_floor_gain)
+                    * prev.de_floor):
+                hist.stopped_by = "floor"
+                break
+            else:
+                anchor = bot_snr      # re-anchor at the new window bottom
+        else:
+            if prev.threshold_db - cur.threshold_db < min_gain_db:
+                hist.stopped_by = "threshold"
+                break
+            anchor = thr_i            # re-anchor at the improved threshold
     return hist

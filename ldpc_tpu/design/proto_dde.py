@@ -298,22 +298,22 @@ def protograph_density_evolution(
         # posterior error per column: with the sign-preserving dead zone
         # (quantizer.QDQ_SIGN_TINY) the decision is the posterior's sign
         # regardless of the bv qdq — error mass = strictly-negative tail
-        e_sum = 0.0
         neg_cut = _bit_error_cut(v_luts[t] if v_luts is not None else None,
                                  K, grid_step)
         # engines compute posterior = llr + colsum with NO alpha scaling
         # (pallas_fused _store_post / layered epilogue)
+        col_err = np.zeros(nb)
         for c in range(nb):
             s = zero
             for e2 in col_edges[c]:
                 s = _conv_signed(s, c2v[e2], K)
             post = _conv_signed(s, chan_col[c], K)
             post = post / post.sum()
-            e_sum += post[:neg_cut].sum()
-        err[t] = e_sum / nb
+            col_err[c] = post[:neg_cut].sum()
+        err[t] = col_err.mean()
 
     return DEResult(error_prob=err, cn_pre_q=cn_q, vn_pre_q=vn_q,
-                    quantile=quantile)
+                    quantile=quantile, col_error=col_err)
 
 
 def analyze_decoder(
@@ -392,6 +392,8 @@ def refine_ladders_protograph(
     schedule: str = "layered",
     punctured_cols: Sequence[int] = (),
     sweep: Sequence[float] = (0.8, 0.9, 1.1, 1.25),
+    gammas: Optional[Sequence[float]] = None,
+    objective: str = "threshold",
     grid_step: float = 1.0 / 32.0,
     eps: float = 1e-7,
 ):
@@ -399,9 +401,28 @@ def refine_ladders_protograph(
     PROTOGRAPH DE under the actual decode schedule (layered by default)
     — the final polish ``design_rcq_ladders``'s flooding-ensemble
     objective cannot do. Uses a coarser grid (1/32) to keep the
-    per-candidate threshold bisection to seconds. Returns
-    ``(quantizer_params, v2c_quantizer_params, threshold_db)``.
+    per-candidate threshold bisection to seconds.
+
+    ``sweep`` multiplies each pair's C (reach); ``gammas`` (optional)
+    additionally sweeps each pair's exponent — gamma sets the DEAD-ZONE
+    edge tau_1 = C/(L-1)^gamma, the knob that controls the
+    quantization-induced error floor on graphs with degree-1 variable
+    nodes (a C2V that lands in the dead zone erases the only check of a
+    degree-1 bit, leaving it channel-limited).
+
+    ``objective``:
+
+    - ``"threshold"`` (default): minimize the DE convergence threshold
+      (lowest SNR with final error < ``eps``, bisected in
+      ``snr_db ± 3``). Returns ``(qp, vqp, threshold_db)``.
+    - ``"floor"``: minimize the final DE error AT ``snr_db``
+      (lexicographically back-to-front, as ``design_dynamic_quantizers``
+      does) — the right objective when no ladder in the neighbourhood
+      converges below ``eps`` at any SNR (quantization floor regime).
+      Returns ``(qp, vqp, final_error)``.
     """
+    if objective not in ("threshold", "floor"):
+        raise ValueError(f"unknown objective {objective!r}")
     qp = [list(p) for p in quantizer_params]
     vqp = ([list(p) for p in v2c_quantizer_params]
            if v2c_quantizer_params is not None else None)
@@ -416,42 +437,68 @@ def refine_ladders_protograph(
     sweep_v2c = schedule != "layered"
     lo0, hi0 = snr_db - 3.0, snr_db + 3.0
 
-    def threshold(q, v):
+    def run(q, v, snr):
+        return protograph_density_evolution(
+            base, snr_db=snr, schedule=schedule,
+            max_iterations=max_iterations, kind="rcq", bc=bc,
+            quantizer_params=tuple(tuple(p) for p in q), bv=bv,
+            v2c_quantizer_params=(tuple(tuple(p) for p in v)
+                                  if v is not None else None),
+            punctured_cols=punctured_cols, grid_step=grid_step)
+
+    def threshold(q, v, prune_at=None):
+        """Bisected threshold on the FIXED bracket ``snr_db ± 3`` (every
+        candidate sees the identical mid sequence, so equal ladders get
+        exactly equal thresholds). ``prune_at`` aborts as soon as the
+        bracket's lower edge proves the candidate cannot beat the
+        incumbent, saving most of the bisection on losing candidates."""
         lo, hi = lo0, hi0
-        kw = dict(schedule=schedule, max_iterations=max_iterations,
-                  kind="rcq", bc=bc,
-                  quantizer_params=tuple(tuple(p) for p in q),
-                  bv=bv,
-                  v2c_quantizer_params=(tuple(tuple(p) for p in v)
-                                        if v is not None else None),
-                  punctured_cols=punctured_cols, grid_step=grid_step)
-        if protograph_density_evolution(
-                base, snr_db=hi, **kw).error_prob[-1] > eps:
-            return hi + 1.0
+        if run(q, v, hi).error_prob[-1] > eps:
+            return hi0 + 1.0
         for _ in range(7):
             mid = 0.5 * (lo + hi)
-            if protograph_density_evolution(
-                    base, snr_db=mid, **kw).error_prob[-1] > eps:
+            if run(q, v, mid).error_prob[-1] > eps:
                 lo = mid
+                if prune_at is not None and lo >= prune_at:
+                    return hi0 + 1.0  # threshold >= lo > incumbent
             else:
                 hi = mid
         return hi
 
-    best = threshold(qp, vqp)
+    def floor_key(q, v):
+        return tuple(run(q, v, snr_db).error_prob[::-1])
+
+    if objective == "floor":
+        best = floor_key(qp, vqp)
+        score = lambda: floor_key(qp, vqp)  # noqa: E731
+    else:
+        best = threshold(qp, vqp)
+        score = lambda: threshold(qp, vqp, prune_at=best)  # noqa: E731
+
     for lad in ([qp] if (vqp is None or not sweep_v2c) else [qp, vqp]):
         for p in range(len(lad)):
             for f in sweep:
                 old = lad[p][0]
                 lad[p][0] = old * f
-                thr = threshold(qp, vqp)
-                if thr < best:
-                    best = thr
+                cand = score()
+                if cand < best:
+                    best = cand
                 else:
                     lad[p][0] = old
+            for g in (gammas or ()):
+                if g == lad[p][1]:
+                    continue
+                old_g = lad[p][1]
+                lad[p][1] = g
+                cand = score()
+                if cand < best:
+                    best = cand
+                else:
+                    lad[p][1] = old_g
     return (tuple((round(c, 4), g) for c, g in qp),
             (tuple((round(c, 4), g) for c, g in vqp)
              if vqp is not None else None),
-            float(best))
+            float(best[0] if objective == "floor" else best))
 
 
 def design_dynamic_quantizers(

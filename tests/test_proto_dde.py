@@ -283,3 +283,56 @@ def test_estimate_threshold_adaptive_bracket():
         base, snr_db=thr + 0.05, **kw).error_prob[-1] <= 1e-7
     assert protograph_density_evolution(
         base, snr_db=thr - 0.5, **kw).error_prob[-1] > 1e-7
+
+
+def test_refine_floor_objective_and_gamma_sweep():
+    """objective='floor' minimizes the final DE error at the design SNR
+    (never increases it), and the gamma sweep may move a pair's
+    exponent — the dead-zone knob the C-only sweep cannot reach."""
+    from ldpc_tpu.design.proto_dde import (protograph_density_evolution,
+                                           refine_ladders_protograph)
+
+    rng = np.random.default_rng(1)
+    base = rng.integers(0, 64, size=(3, 10))
+    qp0 = ((2.0, 1.3), (4.0, 1.3), (6.0, 1.3))
+    vqp0 = ((4.0, 1.0), (8.0, 1.0), (12.0, 1.0))
+    kw = dict(max_iterations=6, kind="rcq", bc=3, bv=8,
+              v2c_quantizer_params=vqp0, schedule="layered",
+              grid_step=1.0 / 32.0)
+    snr = 3.0   # below this ladder's threshold: error is reducible
+    e0 = protograph_density_evolution(
+        base, snr_db=snr, quantizer_params=qp0, **kw).error_prob[-1]
+    qp1, vqp1, e1 = refine_ladders_protograph(
+        base, qp0, vqp0, bc=3, bv=8, max_iterations=6, snr_db=snr,
+        sweep=(0.8, 1.25), gammas=(1.0, 1.8), objective="floor")
+    assert e1 <= e0 + 1e-12
+    e_check = protograph_density_evolution(
+        base, snr_db=snr, quantizer_params=qp1, **kw).error_prob[-1]
+    assert abs(e_check - e1) < 1e-9       # returned score is the DE error
+    gs = {g for _, g in qp1}
+    assert gs <= {1.0, 1.3, 1.8}          # gammas stay in the sweep set
+
+
+def test_iterate_refine_floor_mode():
+    """With an unreachable eps nothing converges anywhere: the loop must
+    engage FLOOR mode (window-bottom design SNR, de_floor/window_db
+    recorded, non-increasing floors) and stop by a floor-regime rule."""
+    from ldpc_tpu.design import iterate_refine
+
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 64, size=(3, 10))
+    qp0 = ((2.0, 1.3), (4.0, 1.3), (6.0, 1.3))
+    vqp0 = ((4.0, 1.0), (8.0, 1.0), (12.0, 1.0))
+    hist = iterate_refine(
+        base, qp0, vqp0, bc=3, bv=8, max_iterations=6, snr_db=None,
+        max_passes=2, sweep=(0.8, 1.25), gammas=(1.0, 1.8),
+        eps=1e-30, snr_scan=(0.0, 6.0))
+    p0 = hist.passes[0]
+    assert p0.threshold_db >= 7.0         # capped: floor regime
+    assert p0.de_floor is not None and p0.window_db is not None
+    assert 0.0 <= p0.window_db <= 6.0
+    floors = [p.de_floor for p in hist.passes if p.de_floor is not None]
+    assert all(b <= a * 1.0 + 1e-15 for a, b in zip(floors, floors[1:]))
+    assert hist.stopped_by in ("floor", "fixed_point", "max_passes")
+    # best: all passes capped -> lowest de_floor breaks the tie
+    assert hist.best.de_floor == min(floors)
