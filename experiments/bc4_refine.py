@@ -1,0 +1,155 @@
+"""bc=4 vs bc=3 on the bench code, with the proven design tool.
+
+Round-2 found bc=4 TRAILING bc=3 across 6 hand/DDE candidate ladders on
+the bench (9472,8192)-class QC code (experiments/ladder_bc4_results.json
+— an inversion: more CN bits should not hurt). Those candidates only
+varied C with gamma pinned at 1.3. At bc=4 the ladder has 8 magnitude
+levels, so the dead-zone edge tau_1 = C*(1/7)**gamma and the reach C
+trade off very differently than at bc=3 (tau_1 = C*(1/3)**gamma);
+a gamma-blind sweep cannot explore that.
+
+This experiment applies the round-4 floor-aware iterated refine
+(``design.iterate_refine`` with the gamma sweep) at bc=4, then measures
+deep FER head-to-head against the shipped bc=3 DDE ladder at equal
+T/schedule. Resolves VERDICT r3 item 4: either bc4 >= bc3 at equal T,
+or a DE-backed explanation that the inversion is inherent.
+
+    python experiments/bc4_refine.py --phase design   # CPU
+    python experiments/bc4_refine.py --phase deep     # TPU (one process)
+    python experiments/bc4_refine.py --phase report
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+T, BV = 6, 8
+LIFT = 256
+BC3_CN = ((2.6474, 1.3), (3.0869, 1.3), (5.3767, 1.3))  # bench DDE ladder
+VQP = ((4.0, 1.0), (8.0, 1.0), (12.0, 1.0))
+DESIGN_PATH = "experiments/bc4_refine_design.json"
+OUT = "experiments/bc4_refine_results.json"
+
+
+def bench_base():
+    rng = np.random.default_rng(0)
+    return rng.integers(0, 256, size=(5, 37))
+
+
+def design(max_passes: int = 5, verbose: bool = True):
+    """CPU: bc=4 CN ladder by iterated refine (C and gamma sweeps),
+    seeded from the bc=3 DDE ladder (same reach, finer resolution)."""
+    from ldpc_tpu.design import iterate_refine
+
+    hist = iterate_refine(
+        bench_base(), BC3_CN, VQP, bc=4, bv=BV, max_iterations=T,
+        snr_db=None, schedule="layered", max_passes=max_passes,
+        min_gain_db=0.01, grid_step=1 / 32,
+        sweep=(0.6, 0.8, 0.9, 1.1, 1.25, 1.6), verbose=verbose)
+    out = hist.to_dict()
+    with open(DESIGN_PATH, "w") as f:
+        json.dump(out, f, indent=2)
+    print(f"bc4 design: best pass {hist.best.index} "
+          f"thr {hist.best.threshold_db:.3f} ({hist.stopped_by})",
+          flush=True)
+    return out
+
+
+def _mk(arm):
+    import jax
+    import jax.numpy as jnp
+
+    import ldpc_tpu
+    from ldpc_tpu.decode.qc_engine import build_qc_graph
+
+    base = bench_base()
+    code = ldpc_tpu.create_qc_code(base, lift=LIFT, max_iterations=T)
+    qc = build_qc_graph(base, LIFT)
+    fused = dict(fused=True, batch_tile=64, dtype=jnp.bfloat16,
+                 lean=True, natural=True)
+    if jax.default_backend() == "cpu":
+        fused = dict(fused=True, batch_tile=16, dtype=jnp.float32,
+                     interpret=True, lean=True)
+    if arm == "bc3":
+        bc, qp = 3, BC3_CN
+    elif arm == "bc4":
+        d = json.load(open(DESIGN_PATH))
+        bc = 4
+        qp = tuple(tuple(x) for x in d["passes"][d["best_index"]]["cn"])
+    else:
+        raise ValueError(arm)
+    return ldpc_tpu.make_decoder(
+        code, kind="rcq", bc=bc, bv=BV, quantizer_params=qp,
+        v2c_quantizer_params=VQP, max_iterations=T, qc=qc, layered=True,
+        qc_options=dict(fused)), code
+
+
+def deep(arms=("bc4", "bc3"), snr_lo=6.0, snr_hi=7.6, snr_step=0.2,
+         errors=100, frames=2 * 10 ** 8, verbose=True):
+    from ldpc_tpu.sim import SimulationConfig, simulate_single_snr
+
+    results = {}
+    if os.path.exists(OUT):
+        results = json.load(open(OUT))
+    for arm in arms:
+        dec, code = _mk(arm)
+        pts = results.setdefault(arm, {})
+        snr = snr_lo
+        while snr <= snr_hi + 1e-9:
+            key = f"{snr:.1f}"
+            if key not in pts:
+                cfg = SimulationConfig(
+                    snr_range=(snr, snr), max_frames=frames,
+                    max_errors=errors, min_frames=65536,
+                    wave_size=32768, early_exit_iters=3,
+                    survivor_budget=4096, save_results=False)
+                fer, ber, it, nf, ne = simulate_single_snr(dec, snr, cfg)
+                pts[key] = {"fer": fer, "frames": nf, "errors": ne}
+                with open(OUT, "w") as f:
+                    json.dump(results, f, indent=2)
+                if verbose:
+                    print(f"{arm} @ {snr:.1f}: FER {fer:.3e} ({ne}/{nf})",
+                          flush=True)
+                if ne == 0:
+                    break
+            snr = round(snr + snr_step, 10)
+    return results
+
+
+def report():
+    results = json.load(open(OUT))
+    for arm, pts in results.items():
+        for s in sorted(pts, key=float):
+            p = pts[s]
+            print(f"{arm} @ {s}: {p['fer']:.3e} ({p['errors']}/"
+                  f"{p['frames']})")
+    return results
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--phase", choices=["design", "deep", "report"],
+                    required=True)
+    ap.add_argument("--errors", type=int, default=100)
+    ap.add_argument("--frames", type=int, default=2 * 10 ** 8)
+    args = ap.parse_args()
+
+    if args.phase == "design":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        design()
+    elif args.phase == "deep":
+        from ldpc_tpu.utils.cache import enable_compilation_cache
+        enable_compilation_cache()
+        import logging
+        logging.basicConfig(level=logging.INFO, force=True)
+        deep(errors=args.errors, frames=args.frames)
+    else:
+        report()

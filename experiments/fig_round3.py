@@ -59,6 +59,17 @@ def main(out="images/design_loop_fer.png"):
             d["frame_error_rates"]
         s_oms, f_oms = curve("experiments/pbrl_precode_results.json",
                              "precoded-oms6-T10")
+        # the round-2 anchor starts at 2.6 dB; prepend the measured
+        # 2.0-2.4 dB deep anchor points (100/88 errors) so the anchor
+        # covers the crossover region (ADVICE r3 item 3)
+        deep_oms = "experiments/pbrl_wrcq_ck/deep/oms6.json"
+        if os.path.exists(deep_oms):
+            d2 = json.load(open(deep_oms))
+            s2 = d2["snr_values"][:len(d2["frame_error_rates"])]
+            pre = [(s, f) for s, f in zip(s2, d2["frame_error_rates"])
+                   if s < min(s_oms)]
+            s_oms = [s for s, _ in pre] + list(s_oms)
+            f_oms = [f for _, f in pre] + list(f_oms)
     # drop zero-FER tail points (0 errors) from the OMS anchor
     pts = [(s, f) for s, f in zip(s_oms, f_oms) if f > 0]
     s_oms, f_oms = zip(*pts)

@@ -203,17 +203,23 @@ def iterate_refine(
       This encodes the guide rule that DE-threshold descent can overfit
       (RESULTS §23 dynamic ladders): measured evidence overrides DE.
 
-    FLOOR MODE (automatic): when NO SNR in ``snr_scan`` converges below
-    ``eps`` — the quantization-floor regime, e.g. 4-bit CN ladders on
-    graphs with degree-1 IR bits where dead-zone mass leaves them
-    channel-limited — threshold descent is blind. The loop then designs
-    with ``objective="floor"`` at the convergence-window bottom (the
-    scanned SNR with the lowest final error), re-anchoring the window
-    each pass, and switches back to threshold mode as soon as a pass's
-    ladder converges somewhere. Floor passes stop when the relative
-    floor improvement drops below ``min_floor_gain`` (``stopped_by ==
-    "floor"``). ``gammas`` extends the per-pair sweep to the exponent —
-    the dead-zone knob — and is essential in floor mode.
+    FLOOR MODE (automatic): engaged when threshold descent is blind —
+    either NO SNR in ``snr_scan`` converges below ``eps`` (the
+    quantization-floor regime, e.g. 4-bit CN ladders on graphs with
+    degree-1 IR bits where dead-zone mass leaves them channel-limited),
+    or the first converging SNR sits far ABOVE the waterfall knee (a
+    spurious high-SNR convergence window in the saturation zone —
+    quantized DE is non-monotone in SNR, CLAUDE.md gotcha). The loop
+    then designs with ``objective="floor"`` at the KNEE — the lowest
+    scanned SNR whose final error is already below ``knee_eps`` (the
+    waterfall position, which tracks the measured operating point even
+    when the DE's absolute floor level does not) — re-anchoring each
+    pass, and switches to threshold mode once a pass's ladder converges
+    within ``knee_margin_db`` of its knee. Floor passes stop when
+    neither the knee moved down nor the floor improved by
+    ``min_floor_gain`` (``stopped_by == "floor"``). ``gammas`` extends
+    the per-pair sweep to the exponent — the dead-zone knob — and is
+    essential in floor mode.
 
     Returns a :class:`RefineHistory`; ``history.best.cn`` /
     ``history.best.v2c`` feed straight into ``make_decoder``'s
@@ -226,33 +232,53 @@ def iterate_refine(
                   schedule=schedule, punctured_cols=tuple(punctured_cols),
                   grid_step=grid_step, eps=eps)
     cap = snr_scan[1] + 1.0
+    knee_eps = max(1e-3, eps)
+    knee_margin_db = 2.0
 
     def scan_ladder(c, v):
-        """(threshold, window-bottom snr, window-bottom err)."""
+        """(threshold, knee snr or None, floor err at the anchor point).
+
+        The knee is the lowest evaluated SNR with final error <=
+        knee_eps (1 dB coarse resolution — a design anchor, not a
+        reportable number). When even knee_eps is unreachable the
+        window bottom (argmin error) stands in."""
         thr, pts = estimate_threshold(
             base, c, v, snr_lo=snr_scan[0], snr_hi=snr_scan[1],
             return_scan=True, **common)
+        knees = [(s, e) for s, e in pts if e <= knee_eps]
+        if knees:
+            knee, knee_err = min(knees)
+        else:
+            knee, knee_err = None, None
         bot_snr, bot_err = min(pts, key=lambda p: p[1])
-        return thr, bot_snr, bot_err
+        if knee is None:
+            return thr, None, bot_snr, float(bot_err)
+        return thr, float(knee), float(knee), float(knee_err)
 
-    thr0, bot_snr, bot_err = scan_ladder(cn, v2c)
-    floor_mode = thr0 >= cap
+    def is_floor(thr, knee):
+        return thr >= cap or (knee is not None
+                              and thr - knee > knee_margin_db)
+
+    thr0, knee, anchor0, floor0 = scan_ladder(cn, v2c)
+    floor_mode = is_floor(thr0, knee)
     anchor = (snr_db if snr_db is not None
-              else (bot_snr if floor_mode else thr0))
+              else (anchor0 if floor_mode else thr0))
     if verbose:
         print(f"iterate_refine: auto design SNR = {anchor:.3f} dB "
-              + ("(window bottom — FLOOR mode, no SNR converges)"
+              + ("(waterfall knee — FLOOR mode: threshold "
+                 + (f"{thr0:.2f}" if thr0 < cap else "unreachable")
+                 + " sits above the knee)"
                  if floor_mode else "(initial-ladder DE threshold)"),
               flush=True)
 
     hist = RefineHistory()
-    p0 = RefinePass(0, cn, v2c, float(thr0), de_floor=float(bot_err),
-                    window_db=float(bot_snr))
+    p0 = RefinePass(0, cn, v2c, float(thr0), de_floor=floor0,
+                    window_db=anchor0)
     if dev_probe is not None:
         p0.probe = float(dev_probe(cn, v2c))
     hist.passes.append(p0)
     if verbose:
-        print(f"pass 0: thr {thr0:.4f} dB floor {bot_err:.3e} "
+        print(f"pass 0: thr {thr0:.4f} dB floor {floor0:.3e} "
               f"probe {p0.probe}", flush=True)
 
     for i in range(1, max_passes + 1):
@@ -262,13 +288,12 @@ def iterate_refine(
             gammas=gammas,
             objective="floor" if floor_mode else "threshold", **common)
         if floor_mode:
-            # re-scan: did this pass open a convergence window?
-            thr_i, bot_snr, bot_err = scan_ladder(cn_i, v2c_i)
+            # full re-scan: where are the knee and threshold now?
+            thr_i, knee, anc_i, floor_i = scan_ladder(cn_i, v2c_i)
             cur = RefinePass(i, cn_i, v2c_i, float(thr_i),
-                             de_floor=float(bot_err),
-                             window_db=float(bot_snr))
+                             de_floor=floor_i, window_db=anc_i)
         else:
-            thr_i = score
+            thr_i, anc_i, floor_i = score, None, None
             cur = RefinePass(i, cn_i, v2c_i, float(thr_i))
         if dev_probe is not None:
             cur.probe = float(dev_probe(cn_i, v2c_i))
@@ -286,16 +311,20 @@ def iterate_refine(
             hist.stopped_by = "probe"
             break
         if floor_mode:
-            if thr_i < cap:           # window opened: threshold regime
+            if not is_floor(thr_i, knee):   # real window at the knee
                 floor_mode = False
                 anchor = thr_i
-            elif (prev.de_floor is not None and cur.de_floor is not None
-                    and cur.de_floor > (1.0 - min_floor_gain)
-                    * prev.de_floor):
+                continue
+            anchor_moved = (prev.window_db is not None
+                            and anc_i < prev.window_db - 1e-9)
+            floor_gained = (prev.de_floor is not None
+                            and floor_i is not None
+                            and floor_i <= (1.0 - min_floor_gain)
+                            * prev.de_floor)
+            if not anchor_moved and not floor_gained:
                 hist.stopped_by = "floor"
                 break
-            else:
-                anchor = bot_snr      # re-anchor at the new window bottom
+            anchor = anc_i                  # re-anchor at the new knee
         else:
             if prev.threshold_db - cur.threshold_db < min_gain_db:
                 hist.stopped_by = "threshold"
