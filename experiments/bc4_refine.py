@@ -80,9 +80,16 @@ def _mk(arm):
     if arm == "bc3":
         bc, qp = 3, BC3_CN
     elif arm == "bc4":
-        d = json.load(open(DESIGN_PATH))
+        # threshold refine hit an immediate fixed point (bisection can't
+        # see the bc4 seed's 7.2e-9 residual DE floor at 6.15 dB); the
+        # floor-objective polish can, and kills it (gamma 2.2 on the
+        # early pairs -> 1.85e-16, = bc3) — experiments/
+        # bc4_floor_polish.json, written by the round-4 polish run
+        d = json.load(open("experiments/bc4_floor_polish.json"))
         bc = 4
-        qp = tuple(tuple(x) for x in d["passes"][d["best_index"]]["cn"])
+        qp = tuple(tuple(x) for x in d["cn"])
+    elif arm == "bc4-seed":   # the unpolished arm, for the A/B record
+        bc, qp = 4, BC3_CN
     else:
         raise ValueError(arm)
     return ldpc_tpu.make_decoder(
