@@ -105,6 +105,74 @@ def _load_design(tag):
         return json.load(f)
 
 
+POLISH_PATH = "experiments/pbrl_rates_design_{tag}_polish.json"
+
+
+def _best_ladder(tag):
+    """The rate's operational ladder: the floor-polished one when the
+    polish phase has run, else the best threshold-refine pass."""
+    path = POLISH_PATH.format(tag=tag)
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    d = _load_design(tag)
+    return d["passes"][d["best_index"]]
+
+
+def polish(tag: str, verbose: bool = True):
+    """CPU phase: floor-objective polish of the threshold-designed
+    ladder, anchored where its high-SNR DE floor peaks.
+
+    Threshold refine stops at its bisection resolution and cannot see a
+    deep residual floor (rate 89 measured: MC floors at ~4.9e-6 while
+    the DE of the designed ladder floors at ~4.8e-9 concentrated in one
+    base column — 43 bits x 1.2e-7 = the MC number). Two lexicographic
+    error-descent passes at the floor's peak SNR remove it (rate 89:
+    the last pair's reach 13 -> 29; late-iteration messages outgrow a
+    static reach — the paper's grow-the-reach dynamic-quantizer rule)."""
+    from ldpc_tpu.design.proto_dde import (
+        protograph_density_evolution as de, refine_ladders_protograph)
+
+    base, lift, punct = family(tag)
+    d = _load_design(tag)
+    bp = d["passes"][d["best_index"]]
+    cn = tuple(tuple(x) for x in bp["cn"])
+    vqp = tuple(tuple(x) for x in bp["v2c"])
+    thr = bp["threshold_db"]
+    if thr >= 12.9:
+        thr = bp.get("window_db") or 2.0
+    gs = d.get("grid_step", 1 / 16)
+    kw = dict(max_iterations=T, bc=BC, bv=BV, schedule="layered",
+              punctured_cols=punct, grid_step=gs)
+    # probe the post-waterfall region for the residual-floor peak
+    probe = []
+    for off in (0.5, 1.0, 1.5, 2.0, 3.0):
+        r = de(base, snr_db=thr + off, kind="rcq", quantizer_params=cn,
+               v2c_quantizer_params=vqp, **kw)
+        probe.append((thr + off, float(r.error_prob[-1])))
+        if verbose:
+            print(f"  floor probe {thr + off:.2f} dB: "
+                  f"{r.error_prob[-1]:.3e}", flush=True)
+    peak_snr, peak_err = max(probe, key=lambda p: p[1])
+    cur, cur_v = cn, vqp
+    for i in range(2):
+        cur, cur_v, e = refine_ladders_protograph(
+            base, cur, cur_v, snr_db=peak_snr, objective="floor",
+            sweep=(0.6, 0.8, 0.9, 1.1, 1.25, 1.6),
+            gammas=(1.0, 1.15, 1.3, 1.5, 1.8, 2.2), **kw)
+        if verbose:
+            print(f"  polish pass {i + 1}: err {e:.3e} cn {cur}",
+                  flush=True)
+    out = {"rate": RATES[tag], "anchor_db": peak_snr,
+           "pre_err": peak_err, "post_err": float(e),
+           "cn": [list(p) for p in cur], "v2c": [list(p) for p in cur_v]}
+    with open(POLISH_PATH.format(tag=tag), "w") as f:
+        json.dump(out, f, indent=2)
+    print(f"rate {tag} polish: floor {peak_err:.3e} -> {e:.3e} "
+          f"@ {peak_snr:.2f} dB", flush=True)
+    return out
+
+
 def _mk_setup(tag):
     import jax
     import jax.numpy as jnp
@@ -137,6 +205,11 @@ def _mk_setup(tag):
             p = d["passes"][d["best_index"]]
             qp = tuple(tuple(x) for x in p["cn"])
             vqp = tuple(tuple(x) for x in p["v2c"])
+        elif arm == "rcq-pol":             # floor-polished ladder
+            with open(POLISH_PATH.format(tag=tag)) as f:
+                p = json.load(f)
+            qp = tuple(tuple(x) for x in p["cn"])
+            vqp = tuple(tuple(x) for x in p["v2c"])
         elif arm.startswith("rcq-p"):      # specific refine pass
             d = _load_design(tag)
             p = d["passes"][int(arm[5:])]
@@ -144,8 +217,7 @@ def _mk_setup(tag):
             vqp = tuple(tuple(x) for x in p["v2c"])
         elif arm.startswith("wrcq-"):
             from ldpc_tpu.utils.checkpoint import load_checkpoint
-            d = _load_design(tag)
-            p = d["passes"][d["best_index"]]
+            p = _best_ladder(tag)
             qp = tuple(tuple(x) for x in p["cn"])
             vqp = tuple(tuple(x) for x in p["v2c"])
             dec = ldpc_tpu.make_decoder(
@@ -183,7 +255,7 @@ def train(tag: str, epochs: int = 30, verbose: bool = True):
     thr = (bp.get("window_db") or bp["threshold_db"]) \
         if bp["threshold_db"] >= 12.9 else bp["threshold_db"]
     base, lift, _ = family(tag)
-    p = d["passes"][d["best_index"]]
+    p = _best_ladder(tag)   # polished ladder when available
     fused = dict(fused=True, batch_tile=None, dtype=jnp.bfloat16)
     if jax.default_backend() == "cpu":
         fused = dict(fused, interpret=True, dtype=jnp.float32)
@@ -321,8 +393,8 @@ def report(out_path=OUT_PATH):
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--phase", choices=["design", "train", "deep",
-                                        "report"], required=True)
+    ap.add_argument("--phase", choices=["design", "polish", "train",
+                                        "deep", "report"], required=True)
     ap.add_argument("--rates", nargs="+", default=["89", "23", "12", "13"])
     ap.add_argument("--arms", nargs="+", default=["oms6", "rcq-best"])
     ap.add_argument("--frames", type=int, default=5 * 10 ** 7)
@@ -342,6 +414,11 @@ if __name__ == "__main__":
         jax.config.update("jax_platforms", "cpu")
         for tag in args.rates:
             design(tag, max_passes=args.max_passes)
+    elif args.phase == "polish":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        for tag in args.rates:
+            polish(tag)
     elif args.phase == "train":
         for tag in args.rates:
             train(tag)
