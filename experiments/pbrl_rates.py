@@ -294,13 +294,19 @@ def _scan_arm(tag, arm, dec, punct_bits, snr_start, *, frames, errors,
     if os.path.exists(ck_path):
         points = json.load(open(ck_path))["points"]
 
+    # dispatch amortization: these codes are 3-8x shorter than the bench
+    # code, so a 32768-frame wave is mostly tunnel-RPC overhead — scale
+    # the wave so each dispatch carries bench-sized work
+    n_bits = dec.code.n if hasattr(dec, "code") else 3096
+    wave = min(262144, 32768 * max(1, round(9472 / n_bits)))
+
     def measure(snr, fr, er):
         key = f"{snr:.1f}"
         if key in points:
             return points[key]
         cfg = SimulationConfig(
             snr_range=(snr, snr), max_frames=fr, max_errors=er,
-            min_frames=65536, wave_size=32768, early_exit_iters=5,
+            min_frames=65536, wave_size=wave, early_exit_iters=5,
             survivor_budget=4096, punctured_positions=punct_bits,
             save_results=False)
         fer, ber, avg_it, nf, ne = simulate_single_snr(dec, snr, cfg)
