@@ -197,7 +197,7 @@ def deep13(arms=("p2", "p3"), snr_lo=1.4, snr_hi=3.6, snr_step=0.2,
                 cfg = SimulationConfig(
                     snr_range=(snr, snr), max_frames=frames,
                     max_errors=errors, min_frames=65536,
-                    wave_size=32768, early_exit_iters=5,
+                    wave_size=98304, early_exit_iters=5,
                     survivor_budget=4096,
                     punctured_positions=punct_bits, save_results=False)
                 fer, ber, it, nf, ne = simulate_single_snr(dec, snr, cfg)
