@@ -162,13 +162,16 @@ def _mk13(arm):
     fused = dict(fused=True, batch_tile=None, dtype=jnp.bfloat16)
     if jax.default_backend() == "cpu":
         fused = dict(fused, interpret=True, dtype=jnp.float32)
-    if arm == "p3":   # the 3-pair designed arm (pbrl_rates rate-13 best)
-        d = json.load(open("experiments/pbrl_rates_design_13.json"))
+    # both arms use their floor-POLISHED ladders (same design budget:
+    # knee-anchored refine + 2 floor-polish passes each)
+    if arm == "p3":   # the 3-pair designed arm (pbrl_rates rate-13)
+        p = json.load(open(
+            "experiments/pbrl_rates_design_13_polish.json"))
     elif arm == "p2":
-        d = json.load(open(PBRL_DESIGN))
+        p = json.load(open(
+            "experiments/quantizer_count_design13_polish.json"))
     else:
         raise ValueError(arm)
-    p = d["passes"][d["best_index"]]
     qp = tuple(tuple(x) for x in p["cn"])
     dec = ldpc_tpu.make_decoder(
         code, kind="rcq", bc=PBRL_BC, bv=PBRL_BV, quantizer_params=qp,
