@@ -1,0 +1,87 @@
+"""Figure: paper §VII-C across rates — honest FER curves per rate.
+
+Small multiples (one panel per rate, shared style), 6-bit OMS anchor vs
+designed 4-bit RCQ (floor-polished) vs trained 4-bit W-OMS-RCQ, read
+from the per-arm scan checkpoints in experiments/pbrl_rates_ck/.
+
+Style notes (dataviz method): identity is never color-alone — each
+series carries a fixed marker shape and line style in addition to its
+hue (palette validator unavailable in this image: no node; the
+blue/orange/green triple is mitigated by markers + direct legend).
+Thin 2px lines, recessive grid, one legend, no dual axes.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+
+CK = "experiments/pbrl_rates_ck"
+RATES = [("13", "1/3"), ("12", "1/2"), ("23", "2/3"), ("89", "8/9")]
+ARMS = [  # (suffix, label, color, marker, linestyle)
+    ("oms6", "6-bit OMS anchor", "#eda100", "o", "--"),
+    ("rcq-pol", "4-bit RCQ, designed (refine+polish)", "#2a78d6", "s",
+     "-"),
+    ("wrcq-{t}", "4-bit W-OMS-RCQ, trained", "#1baf7a", "^", "-"),
+]
+SURFACE, INK, INK2 = "#fcfcfb", "#0b0b0b", "#52514e"
+
+
+def pts(tag, arm):
+    path = f"{CK}/{tag}_{arm}.json"
+    if not os.path.exists(path):
+        return None
+    d = json.load(open(path))["points"]
+    xy = sorted((float(s), v["fer"]) for s, v in d.items() if v["fer"] > 0)
+    return [p[0] for p in xy], [p[1] for p in xy]
+
+
+def main(out="images/rates_fer.png"):
+    fig, axes = plt.subplots(1, 4, figsize=(15, 4.2), dpi=150,
+                             sharey=True)
+    fig.patch.set_facecolor(SURFACE)
+    for ax, (tag, label) in zip(axes, RATES):
+        ax.set_facecolor(SURFACE)
+        for suffix, name, color, marker, ls in ARMS:
+            arm = suffix.format(t=tag)
+            d = pts(tag, arm)
+            if d is None:
+                continue
+            ax.semilogy(d[0], d[1], ls, color=color, lw=2, marker=marker,
+                        ms=5, label=name, markerfacecolor=color,
+                        markeredgecolor=SURFACE, markeredgewidth=0.8)
+        ax.axhline(1e-6, color=INK2, lw=0.8, ls=":", alpha=0.6)
+        ax.set_title(f"rate {label}", color=INK, fontsize=11)
+        ax.set_xlabel("Es/N0 (dB)", color=INK2, fontsize=9)
+        ax.grid(True, which="major", color=INK2, alpha=0.12, lw=0.6)
+        ax.tick_params(colors=INK2, labelsize=8)
+        for s in ax.spines.values():
+            s.set_visible(False)
+    axes[0].set_ylabel("FER", color=INK2, fontsize=9)
+    axes[0].set_ylim(3e-8, 1)
+    handles, labels = max(
+        (ax.get_legend_handles_labels() for ax in axes),
+        key=lambda hl: len(hl[0]))
+    fig.legend(handles, labels, loc="lower center", ncol=3, fontsize=9,
+               framealpha=0, bbox_to_anchor=(0.5, -0.04))
+    fig.suptitle("Precoded PBRL k=1032 family, layered T=10, bc=4/bv=8 "
+                 "— designed & trained 4-bit vs 6-bit OMS (paper "
+                 "§VII-C, honest post-§33 measurement)",
+                 color=INK, fontsize=11, y=1.02)
+    fig.tight_layout()
+    os.makedirs("images", exist_ok=True)
+    fig.savefig(out, bbox_inches="tight", facecolor=SURFACE)
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    main()
