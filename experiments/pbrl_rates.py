@@ -154,7 +154,20 @@ def polish(tag: str, verbose: bool = True):
             print(f"  floor probe {thr + off:.2f} dB: "
                   f"{r.error_prob[-1]:.3e}", flush=True)
     peak_snr, peak_err = max(probe, key=lambda p: p[1])
-    cur, cur_v = cn, vqp
+    cur, cur_v, e = cn, vqp, peak_err
+    if peak_err < 1e-12:
+        # already numeric-zero everywhere: polishing would chase noise
+        # and can DAMAGE the waterfall (measured on the 4-pair rate-89
+        # ladder: thr 6.35 -> 6.52 for a 3.5e-16 -> 2.9e-16 "gain")
+        print(f"rate {tag} polish: floor already clean "
+              f"({peak_err:.1e}), skipping", flush=True)
+        out = {"rate": RATES[tag], "anchor_db": peak_snr,
+               "pre_err": peak_err, "post_err": peak_err,
+               "cn": [list(p) for p in cur],
+               "v2c": [list(p) for p in cur_v]}
+        with open(POLISH_PATH.format(tag=tag), "w") as f:
+            json.dump(out, f, indent=2)
+        return out
     for i in range(2):
         cur, cur_v, e = refine_ladders_protograph(
             base, cur, cur_v, snr_db=peak_snr, objective="floor",
@@ -207,6 +220,11 @@ def _mk_setup(tag):
             vqp = tuple(tuple(x) for x in p["v2c"])
         elif arm == "rcq-pol":             # floor-polished ladder
             with open(POLISH_PATH.format(tag=tag)) as f:
+                p = json.load(f)
+            qp = tuple(tuple(x) for x in p["cn"])
+            vqp = tuple(tuple(x) for x in p["v2c"])
+        elif arm == "rcq-q4":              # 4-pair ladder (§VI rule)
+            with open(f"experiments/pbrl_rates_design_{tag}_q4.json") as f:
                 p = json.load(f)
             qp = tuple(tuple(x) for x in p["cn"])
             vqp = tuple(tuple(x) for x in p["v2c"])
