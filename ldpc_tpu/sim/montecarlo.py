@@ -207,7 +207,12 @@ def _make_compacting_wave_fn(decoder: Decoder, wave_size: int,
         o.pop("check_every", None)
         o.pop("unroll", None)
         o["fused"] = True
-        o["batch_tile"] = stage1_batch_tile
+        # the parent decoder's own batch_tile wins when it set one —
+        # in particular batch_tile=None (auto-pick the largest
+        # VMEM-fitting tile), which big graphs NEED: forcing the config
+        # default of 64 on a graph whose kernel only fits at <=48 raised
+        # the VMEM guard (hit by the 73-column rate-1/3 PBRL)
+        o["batch_tile"] = base_opts.get("batch_tile", stage1_batch_tile)
         if jax.default_backend() == "cpu":
             o["interpret"] = True  # Pallas TPU kernels: interpret on CPU
         return o

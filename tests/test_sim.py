@@ -364,3 +364,29 @@ def test_punctured_simulation():
                                    early_exit_iters=4,
                                    survivor_budget=1024, **base_cfg))[0]
     assert comp == punctured  # identical keys + exact compaction
+
+
+def test_two_checkpoint_inherits_parent_batch_tile():
+    """The compaction wave must honor the parent decoder's own
+    batch_tile — in particular batch_tile=None (auto-pick): forcing the
+    config default of 64 on a graph whose kernel only fits at a smaller
+    tile raised the fused kernel's VMEM guard (hit in round 4 by the
+    73-column rate-1/3 PBRL under f32/interpret)."""
+    from ldpc_tpu.decode.pallas_fused import _VMEM_LIMIT, _fused_vmem_bytes
+    from ldpc_tpu.decode.qc_engine import build_qc_graph
+    from ldpc_tpu.sim.montecarlo import _make_compacting_wave_fn
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 256, size=(8, 32))   # big enough in f32
+    code = ldpc_tpu.create_qc_code(base, lift=256, max_iterations=2)
+    qc = build_qc_graph(base, 256)
+    assert _fused_vmem_bytes(qc, 64, jnp.float32, layered=True) \
+        > _VMEM_LIMIT          # the config default of 64 would not fit
+    dec = ldpc_tpu.rcq_min_sum(
+        code, bc=3, max_iterations=2, qc=qc, layered=True,
+        qc_options={"fused": True, "batch_tile": None, "interpret": True,
+                    "dtype": jnp.float32})
+    wave = _make_compacting_wave_fn(dec, wave_size=16, early_iters=1,
+                                    survivor_budget=8)
+    out = wave(jax.random.PRNGKey(0), jnp.float32(6.0), dec.weights)
+    assert int(out[0]) >= 0    # ran end-to-end, no VMEM guard raise
