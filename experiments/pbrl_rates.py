@@ -171,6 +171,7 @@ def polish(tag: str, verbose: bool = True):
     for i in range(2):
         cur, cur_v, e = refine_ladders_protograph(
             base, cur, cur_v, snr_db=peak_snr, objective="floor",
+            guard_snr=thr,   # don't trade waterfall for floor
             sweep=(0.6, 0.8, 0.9, 1.1, 1.25, 1.6),
             gammas=(1.0, 1.15, 1.3, 1.5, 1.8, 2.2), **kw)
         if verbose:

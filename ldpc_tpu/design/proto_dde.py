@@ -394,6 +394,8 @@ def refine_ladders_protograph(
     sweep: Sequence[float] = (0.8, 0.9, 1.1, 1.25),
     gammas: Optional[Sequence[float]] = None,
     objective: str = "threshold",
+    guard_snr: Optional[float] = None,
+    guard_slack: float = 1.5,
     grid_step: float = 1.0 / 32.0,
     eps: float = 1e-7,
 ):
@@ -420,6 +422,14 @@ def refine_ladders_protograph(
       does) — the right objective when no ladder in the neighbourhood
       converges below ``eps`` at any SNR (quantization floor regime).
       Returns ``(qp, vqp, final_error)``.
+
+    ``guard_snr`` (floor mode only): a second, lower SNR — typically
+    the ladder's threshold — where candidates must not degrade. A
+    candidate is rejected outright if its final error at ``guard_snr``
+    exceeds ``guard_slack`` x the incumbent's starting value there.
+    Without a guard, floor descent at a post-waterfall SNR will happily
+    trade unlimited waterfall position for floor (measured: 0.5 dB of
+    threshold on the rate-1/3 PBRL polish, RESULTS §34).
     """
     if objective not in ("threshold", "floor"):
         raise ValueError(f"unknown objective {objective!r}")
@@ -469,8 +479,22 @@ def refine_ladders_protograph(
         return tuple(run(q, v, snr_db).error_prob[::-1])
 
     if objective == "floor":
-        best = floor_key(qp, vqp)
-        score = lambda: floor_key(qp, vqp)  # noqa: E731
+        if guard_snr is not None:
+            guard0 = guard_slack * float(
+                run(qp, vqp, guard_snr).error_prob[-1])
+
+            def floor_guarded():
+                # guard first: a candidate that damages the waterfall at
+                # guard_snr loses to any candidate that does not,
+                # regardless of its floor
+                g = float(run(qp, vqp, guard_snr).error_prob[-1])
+                return (g > guard0, floor_key(qp, vqp))
+
+            best = floor_guarded()
+            score = floor_guarded
+        else:
+            best = floor_key(qp, vqp)
+            score = lambda: floor_key(qp, vqp)  # noqa: E731
     else:
         best = threshold(qp, vqp)
         score = lambda: threshold(qp, vqp, prune_at=best)  # noqa: E731
@@ -498,7 +522,8 @@ def refine_ladders_protograph(
     return (tuple((round(c, 4), g) for c, g in qp),
             (tuple((round(c, 4), g) for c, g in vqp)
              if vqp is not None else None),
-            float(best[0] if objective == "floor" else best))
+            float((best[1][0] if guard_snr is not None else best[0])
+                  if objective == "floor" else best))
 
 
 def design_dynamic_quantizers(

@@ -338,3 +338,33 @@ def test_iterate_refine_floor_mode():
     assert all(b.window_db <= a.window_db + 1e-12
                for a, b in zip(fps, fps[1:]))
     assert hist.stopped_by in ("floor", "fixed_point", "max_passes")
+
+
+def test_floor_objective_guard_protects_waterfall():
+    """guard_snr caps waterfall damage during floor descent: with the
+    guard at a below-threshold SNR, the refined ladder's error THERE
+    stays within guard_slack of the incumbent's, while the floor
+    objective at snr_db still never worsens."""
+    from ldpc_tpu.design.proto_dde import (protograph_density_evolution,
+                                           refine_ladders_protograph)
+
+    rng = np.random.default_rng(1)
+    base = rng.integers(0, 64, size=(3, 10))
+    qp0 = ((2.0, 1.3), (4.0, 1.3), (6.0, 1.3))
+    vqp0 = ((4.0, 1.0), (8.0, 1.0), (12.0, 1.0))
+    kw = dict(max_iterations=6, kind="rcq", bc=3, bv=8,
+              v2c_quantizer_params=vqp0, schedule="layered",
+              grid_step=1.0 / 32.0)
+    guard, design = 3.0, 6.0   # waterfall point / post-waterfall point
+    g0 = protograph_density_evolution(
+        base, snr_db=guard, quantizer_params=qp0, **kw).error_prob[-1]
+    e0 = protograph_density_evolution(
+        base, snr_db=design, quantizer_params=qp0, **kw).error_prob[-1]
+    qp1, _, e1 = refine_ladders_protograph(
+        base, qp0, vqp0, bc=3, bv=8, max_iterations=6, snr_db=design,
+        objective="floor", guard_snr=guard, guard_slack=1.5,
+        sweep=(0.5, 0.8, 1.25, 2.0), gammas=(1.0, 1.8))
+    assert e1 <= e0 + 1e-15               # floor never worsens
+    g1 = protograph_density_evolution(
+        base, snr_db=guard, quantizer_params=qp1, **kw).error_prob[-1]
+    assert g1 <= 1.5 * g0 + 1e-15         # waterfall damage capped
