@@ -119,6 +119,14 @@ def _best_ladder(tag):
     return d["passes"][d["best_index"]]
 
 
+def _q4_ladder(tag):
+    """The rate's 4-pair ladder (pbrl_rates_q4.py): floor-clean straight
+    out of threshold refine at every rate, and better DE thresholds than
+    the floor-polished 3-pair ladders (§VI add-a-quantizer rule)."""
+    with open(f"experiments/pbrl_rates_design_{tag}_q4.json") as f:
+        return json.load(f)
+
+
 def polish(tag: str, verbose: bool = True):
     """CPU phase: floor-objective polish of the threshold-designed
     ladder, anchored where its high-SNR DE floor peaks.
@@ -140,7 +148,10 @@ def polish(tag: str, verbose: bool = True):
     vqp = tuple(tuple(x) for x in bp["v2c"])
     thr = bp["threshold_db"]
     if thr >= 12.9:
-        thr = bp.get("window_db") or 2.0
+        # explicit None check: window_db == 0.0 dB is a legitimate
+        # convergence-window bottom (rate-1/3 knees sit near 0.6 dB)
+        w = bp.get("window_db")
+        thr = w if w is not None else 2.0
     gs = d.get("grid_step", 1 / 16)
     kw = dict(max_iterations=T, bc=BC, bv=BV, schedule="layered",
               punctured_cols=punct, grid_step=gs)
@@ -235,16 +246,24 @@ def _mk_setup(tag):
             qp = tuple(tuple(x) for x in p["cn"])
             vqp = tuple(tuple(x) for x in p["v2c"])
         elif arm.startswith("wrcq-"):
+            # "wrcq-<tag>" = trained on the rate's best (polished)
+            # ladder; "wrcq-<tag>-q4" = trained on the 4-pair ladder
+            # (checkpoint orcq_<tag>_q4, written by train --ladder q4)
             from ldpc_tpu.utils.checkpoint import load_checkpoint
-            p = _best_ladder(tag)
+            if arm.endswith("-q4"):
+                p = _q4_ladder(tag)
+                ck = f"{CK_DIR}/orcq_{tag}_q4"
+            else:
+                p = _best_ladder(tag)
+                ck = f"{CK_DIR}/orcq_{tag}"
             qp = tuple(tuple(x) for x in p["cn"])
             vqp = tuple(tuple(x) for x in p["v2c"])
             dec = ldpc_tpu.make_decoder(
                 code, kind="orcq", bc=BC, bv=BV, quantizer_params=qp,
                 v2c_quantizer_params=vqp, max_iterations=T, qc=qc,
                 layered=True, sharing_type=2, qc_options=dict(fused))
-            dec.weights = {k: jnp.asarray(v) for k, v in load_checkpoint(
-                f"{CK_DIR}/orcq_{tag}").items()}
+            dec.weights = {k: jnp.asarray(v)
+                           for k, v in load_checkpoint(ck).items()}
             return dec
         else:
             raise ValueError(arm)
@@ -256,10 +275,14 @@ def _mk_setup(tag):
     return mk, punct_bits, code
 
 
-def train(tag: str, epochs: int = 30, verbose: bool = True):
+def train(tag: str, epochs: int = 30, ladder: str = "best",
+          verbose: bool = True):
     """TPU phase: rate-specific W-OMS-RCQ on the rate's designed ladder
     (the paper's rate-specific trained decoder; guide rule says run this
-    only where the designed arm still trails the anchor)."""
+    only where the designed arm still trails the anchor).
+
+    ``ladder="q4"`` trains on the 4-pair ladder instead (checkpoint
+    ``orcq_<tag>_q4``, consumed by the ``wrcq-<tag>-q4`` deep arm)."""
     import jax
     import jax.numpy as jnp
 
@@ -269,12 +292,21 @@ def train(tag: str, epochs: int = 30, verbose: bool = True):
     from ldpc_tpu.utils.checkpoint import save_checkpoint
 
     _, punct_bits, _ = _mk_setup(tag)
-    d = _load_design(tag)
-    bp = d["passes"][d["best_index"]]
-    thr = (bp.get("window_db") or bp["threshold_db"]) \
-        if bp["threshold_db"] >= 12.9 else bp["threshold_db"]
+    if ladder == "q4":
+        p = _q4_ladder(tag)
+        thr = p["threshold_db"]
+        ck_name = f"orcq_{tag}_q4"
+    else:
+        d = _load_design(tag)
+        bp = d["passes"][d["best_index"]]
+        if bp["threshold_db"] >= 12.9:
+            w = bp.get("window_db")
+            thr = w if w is not None else bp["threshold_db"]
+        else:
+            thr = bp["threshold_db"]
+        p = _best_ladder(tag)   # polished ladder when available
+        ck_name = f"orcq_{tag}"
     base, lift, _ = family(tag)
-    p = _best_ladder(tag)   # polished ladder when available
     fused = dict(fused=True, batch_tile=None, dtype=jnp.bfloat16)
     if jax.default_backend() == "cpu":
         fused = dict(fused, interpret=True, dtype=jnp.float32)
@@ -293,10 +325,10 @@ def train(tag: str, epochs: int = 30, verbose: bool = True):
         seed=0, punctured_positions=punct_bits))
     h = tr.train(num_samples=2048, verbose=verbose)
     os.makedirs(CK_DIR, exist_ok=True)
-    save_checkpoint(f"{CK_DIR}/orcq_{tag}",
+    save_checkpoint(f"{CK_DIR}/{ck_name}",
                     {k: v for k, v in dec.weights.items() if v is not None})
-    print(f"trained orcq rate {tag}: loss {h['training_losses'][-1]:.5f}",
-          flush=True)
+    print(f"trained orcq rate {tag} ({ck_name}): "
+          f"loss {h['training_losses'][-1]:.5f}", flush=True)
     return h
 
 
@@ -372,7 +404,8 @@ def deep(tag: str, arms, snr_start=None, frames=5 * 10 ** 7,
         # coarse walk (both directions) finds the real waterfall
         p = d["passes"][d["best_index"]]
         cap = p["threshold_db"] >= 12.9
-        snr_start = round((p.get("window_db") or p["threshold_db"])
+        w = p.get("window_db")
+        snr_start = round((w if w is not None else p["threshold_db"])
                           if cap else p["threshold_db"] + 0.2, 1)
     for arm in arms:
         _scan_arm(tag, arm, mk(arm), punct_bits, snr_start,
@@ -426,6 +459,7 @@ if __name__ == "__main__":
     ap.add_argument("--errors", type=int, default=100)
     ap.add_argument("--max-passes", type=int, default=6)
     ap.add_argument("--snr-start", type=float, default=None)
+    ap.add_argument("--ladder", choices=["best", "q4"], default="best")
     args = ap.parse_args()
 
     if args.phase != "design":
@@ -446,7 +480,7 @@ if __name__ == "__main__":
             polish(tag)
     elif args.phase == "train":
         for tag in args.rates:
-            train(tag)
+            train(tag, ladder=args.ladder)
     elif args.phase == "deep":
         for tag in args.rates:
             deep(tag, tuple(args.arms), snr_start=args.snr_start,

@@ -210,8 +210,10 @@ def deep13(arms=("p2", "p3"), snr_lo=1.4, snr_hi=3.6, snr_step=0.2,
                 if verbose:
                     print(f"pbrl13/{arm} @ {snr:.1f}: FER {fer:.3e} "
                           f"({ne}/{nf})", flush=True)
-                if ne == 0:
-                    break
+            # break on cached zero-error points too, so resumed runs
+            # stop at the same scan extent as fresh ones
+            if pts[key]["errors"] == 0:
+                break
             snr = round(snr + snr_step, 10)
     return results
 
@@ -243,8 +245,8 @@ def deep(arms=("rcq-q2", "rcq-q3"), snr_lo=6.0, snr_hi=7.8,
                 if verbose:
                     print(f"{arm} @ {snr:.1f}: FER {fer:.3e} ({ne}/{nf})",
                           flush=True)
-                if ne == 0:
-                    break
+            if pts[key]["errors"] == 0:
+                break
             snr = round(snr + snr_step, 10)
     return results
 
@@ -255,6 +257,8 @@ if __name__ == "__main__":
                                         "deep13"], required=True)
     ap.add_argument("--errors", type=int, default=50)
     ap.add_argument("--frames", type=int, default=10 ** 9)
+    ap.add_argument("--arms", nargs="+", default=None,
+                    help="deep13 arms (default: p2 p3)")
     args = ap.parse_args()
 
     if args.phase in ("design", "design13"):
@@ -269,5 +273,6 @@ if __name__ == "__main__":
         if args.phase == "deep":
             deep(errors=args.errors, frames=args.frames)
         else:
-            deep13(errors=args.errors,
+            deep13(arms=tuple(args.arms or ("p2", "p3")),
+                   errors=args.errors,
                    frames=min(args.frames, 5 * 10 ** 7))

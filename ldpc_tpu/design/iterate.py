@@ -326,7 +326,14 @@ def iterate_refine(
                 break
             anchor = anc_i                  # re-anchor at the new knee
         else:
-            if prev.threshold_db - cur.threshold_db < min_gain_db:
+            # pass-0's threshold comes from estimate_threshold's adaptive
+            # bracket (~0.008 dB) while pass-i thresholds come from the
+            # refiner's fixed anchor±3 bracket bisected 7 times
+            # (6/2^7 ≈ 0.047 dB) — comparing across those grids below the
+            # coarser resolution is noise, so the stop tolerance is
+            # floored at the refiner's bracket resolution
+            eff_gain = max(min_gain_db, 6.0 / 2 ** 7)
+            if prev.threshold_db - cur.threshold_db < eff_gain:
                 hist.stopped_by = "threshold"
                 break
             anchor = thr_i            # re-anchor at the improved threshold

@@ -229,6 +229,7 @@ def protograph_density_evolution(
     err = np.zeros(T)
     cn_q = np.zeros(T)
     vn_q = np.zeros(T)
+    col_err = np.zeros(nb)   # stays all-zero when max_iterations == 0
 
     for t in range(T):
         v_map = (_qdq_index_map(values, v_luts[t], grid_step, K,

@@ -75,6 +75,10 @@ class SimulationConfig:
     # check-at-T1 contract as the truncated XLA engine when the decoder's
     # check_every equals early_exit_iters (enforced). QC decoders only.
     stage1_fused: bool = False
+    # PRECEDENCE: this knob applies only when the decoder's qc_options
+    # omit "batch_tile"; a parent decoder that set any batch_tile —
+    # including the explicit None (= auto-pick the largest VMEM-fitting
+    # tile, which big graphs need) — wins for both compaction stages.
     stage1_batch_tile: int = 64
     # bit positions transmitted with no channel observation (punctured,
     # LLR 0) — rate-compatible/PBRL simulation; single-device waves only
