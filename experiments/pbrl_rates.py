@@ -235,6 +235,14 @@ def _mk_setup(tag):
                 p = json.load(f)
             qp = tuple(tuple(x) for x in p["cn"])
             vqp = tuple(tuple(x) for x in p["v2c"])
+        elif arm == "rcq-pol3":            # two-point-guarded polish
+            # (polish_guard_study.py: floor descent at the peak, guard
+            # at threshold+0.25 dB with 10x slack — keeps the waterfall)
+            with open(f"experiments/pbrl_rates_design_{tag}"
+                      "_polish3.json") as f:
+                p = json.load(f)
+            qp = tuple(tuple(x) for x in p["cn"])
+            vqp = tuple(tuple(x) for x in p["v2c"])
         elif arm == "rcq-q4":              # 4-pair ladder (§VI rule)
             with open(f"experiments/pbrl_rates_design_{tag}_q4.json") as f:
                 p = json.load(f)

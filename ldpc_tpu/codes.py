@@ -19,7 +19,7 @@ by jitted decoders, never traced.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
@@ -577,17 +577,31 @@ def create_dvbs2_qc_protograph(
     k: int = 7200,
     lift: int = 360,
     dv_info: int = 3,
+    dv_info_high: int = 8,
+    high_cols: Optional[int] = None,
     seed: int = 0,
 ) -> Tuple[np.ndarray, int]:
     """IRA protograph with DVB-S2 structure and lift (the real standard is
     quasi-cyclic with lift 360), decodable on the QC fast path.
 
-    Info base columns get ``dv_info`` circulant blocks at random shifts,
-    spread over distinct base rows; parity base columns form the IRA
-    dual-diagonal staircase (shift-0 identity blocks), mirroring
-    :func:`create_dvbs2_like_code`'s lifted-domain construction. Returns
-    ``(base_matrix, lift)`` for :func:`create_qc_code` /
-    ``decode.qc_engine.build_qc_graph``.
+    Degree profile matches the genuine ETSI rate-1/2 structure: a
+    leading group of info columns at high degree and the majority at
+    degree 3, with parity columns forming the IRA dual-diagonal
+    staircase (degree 2). The real rate-1/2 profile puts 40% of info
+    bits at degree 8 (normal frame: 12960 of 32400 bits; degree 12-13
+    appears only at rates >= 2/3), and every group of 360 info bits
+    shares one degree — exactly one base column here. So ``high_cols``
+    base columns (default ``2 * kb // 5``, i.e. 8 of 20 for the
+    short-frame rate-1/2 dimensions) get ``dv_info_high`` (default 8)
+    circulant blocks, the rest ``dv_info``. The uniform-dv profile of
+    rounds 1-4 is recovered with ``high_cols=0``
+    (``experiments/dvbs2_profile_de.py`` records the DE threshold of
+    each profile variant). Returns ``(base_matrix, lift)`` for
+    :func:`create_qc_code` / ``decode.qc_engine.build_qc_graph``.
+
+    Honest replacement for the reference's ``create_dvbs2_code``
+    (``training_framework.py:379-400``), which returns a ~50%-dense
+    random matrix mislabeled as DVB-S2 (SURVEY §8.7).
     """
     if n % lift or k % lift:
         raise ValueError(f"n={n} and k={k} must be multiples of lift={lift}")
@@ -595,13 +609,17 @@ def create_dvbs2_qc_protograph(
     mb = nb - kb
     if dv_info > mb:
         raise ValueError(f"dv_info={dv_info} > base rows {mb}")
+    if high_cols is None:
+        high_cols = 2 * kb // 5
+    dv_high = min(dv_info_high, mb)
     rng = np.random.default_rng(seed)
     B = np.full((mb, nb), -1, dtype=np.int64)
-    # info columns: dv_info blocks on distinct rows, balanced across rows
+    # info columns: dv blocks on distinct rows, balanced across rows
     row_load = np.zeros(mb, dtype=np.int64)
     for j in range(kb):
-        rows = np.argsort(row_load 
-                          + rng.uniform(0, 0.5, mb))[:dv_info]
+        dv = dv_high if j < high_cols else dv_info
+        rows = np.argsort(row_load
+                          + rng.uniform(0, 0.5, mb))[:dv]
         for r in rows:
             B[r, j] = rng.integers(0, lift)
             row_load[r] += 1

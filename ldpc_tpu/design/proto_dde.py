@@ -149,7 +149,7 @@ def protograph_density_evolution(
         v_luts = _sched_luts(v2c_quantizer_params, bv, T)
 
     if grid_max is None:
-        if c_luts is not None:
+        if c_luts is not None and len(c_luts):
             reach = max(float(l[-1]) for l in c_luts)
         else:
             bmax = float(beta.max()) if beta.ndim else float(beta)

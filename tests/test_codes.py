@@ -192,7 +192,11 @@ def test_dvbs2_qc_full_size_builds():
     base, lift = ldpc_tpu.create_dvbs2_qc_protograph()  # (16200, 7200)
     assert base.shape == (25, 45) and lift == 360
     nnz = (base >= 0).sum()
-    assert nnz == 20 * 3 + (25 + 24)  # info blocks + staircase
+    # genuine ETSI rate-1/2 profile shape: 40% of info bits (8 base
+    # cols = 2880 bits) at degree 8, the rest degree 3, + IRA staircase
+    assert nnz == 8 * 8 + 12 * 3 + (25 + 24)
+    deg = (base[:, :20] >= 0).sum(0)
+    assert list(deg[:8]) == [8] * 8 and set(deg[8:].tolist()) == {3}
 
 
 def test_tanner_155_structure():
