@@ -261,6 +261,11 @@ def _mk_setup(tag):
             if arm.endswith("-q4"):
                 p = _q4_ladder(tag)
                 ck = f"{CK_DIR}/orcq_{tag}_q4"
+            elif arm.endswith("-pol3"):
+                with open(f"experiments/pbrl_rates_design_{tag}"
+                          "_polish3.json") as f:
+                    p = json.load(f)
+                ck = f"{CK_DIR}/orcq_{tag}_pol3"
             else:
                 p = _best_ladder(tag)
                 ck = f"{CK_DIR}/orcq_{tag}"
@@ -304,6 +309,12 @@ def train(tag: str, epochs: int = 30, ladder: str = "best",
         p = _q4_ladder(tag)
         thr = p["threshold_db"]
         ck_name = f"orcq_{tag}_q4"
+    elif ladder == "pol3":
+        with open(f"experiments/pbrl_rates_design_{tag}"
+                  "_polish3.json") as f:
+            p = json.load(f)
+        thr = p["threshold_db"]
+        ck_name = f"orcq_{tag}_pol3"
     else:
         d = _load_design(tag)
         bp = d["passes"][d["best_index"]]
@@ -467,7 +478,8 @@ if __name__ == "__main__":
     ap.add_argument("--errors", type=int, default=100)
     ap.add_argument("--max-passes", type=int, default=6)
     ap.add_argument("--snr-start", type=float, default=None)
-    ap.add_argument("--ladder", choices=["best", "q4"], default="best")
+    ap.add_argument("--ladder", choices=["best", "q4", "pol3"],
+                    default="best")
     args = ap.parse_args()
 
     if args.phase != "design":
