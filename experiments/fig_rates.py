@@ -27,11 +27,15 @@ import matplotlib.pyplot as plt
 
 CK = "experiments/pbrl_rates_ck"
 RATES = [("13", "1/3"), ("12", "1/2"), ("23", "2/3"), ("89", "8/9")]
-ARMS = [  # (suffix, label, color, marker, linestyle)
-    ("oms6", "6-bit OMS anchor", "#eda100", "o", "--"),
-    ("rcq-pol", "4-bit RCQ, designed (refine+polish)", "#2a78d6", "s",
-     "-"),
-    ("wrcq-{t}", "4-bit W-OMS-RCQ, trained", "#1baf7a", "^", "-"),
+# each display series picks the BEST measured variant per rate (by
+# SNR@1e-6): designed = 3-pair polished / 4-pair q4 / two-point pol3,
+# trained = the W-OMS-RCQ arm on whichever ladder its rate trained on
+ARMS = [  # (candidate suffixes, label, color, marker, linestyle)
+    (("oms6",), "6-bit OMS anchor", "#eda100", "o", "--"),
+    (("rcq-pol", "rcq-q4", "rcq-pol3"), "4-bit RCQ, designed (best)",
+     "#2a78d6", "s", "-"),
+    (("wrcq-{t}", "wrcq-{t}-q4", "wrcq-{t}-pol3"),
+     "4-bit W-OMS-RCQ, trained (best)", "#1baf7a", "^", "-"),
 ]
 SURFACE, INK, INK2 = "#fcfcfb", "#0b0b0b", "#52514e"
 
@@ -45,15 +49,31 @@ def pts(tag, arm):
     return [p[0] for p in xy], [p[1] for p in xy]
 
 
+def _snr_at(d, target=1e-6):
+    for (s0, f0), (s1, f1) in zip(zip(*d), list(zip(*d))[1:]):
+        if f0 >= target >= f1:
+            return s0 + (s1 - s0) * (math.log(f0 / target)
+                                     / math.log(f0 / f1))
+    return math.inf
+
+
+def best_pts(tag, suffixes):
+    cands = []
+    for suf in suffixes:
+        d = pts(tag, suf.format(t=tag))
+        if d:
+            cands.append((_snr_at(d), d))
+    return min(cands, key=lambda c: c[0])[1] if cands else None
+
+
 def main(out="images/rates_fer.png"):
     fig, axes = plt.subplots(1, 4, figsize=(15, 4.2), dpi=150,
                              sharey=True)
     fig.patch.set_facecolor(SURFACE)
     for ax, (tag, label) in zip(axes, RATES):
         ax.set_facecolor(SURFACE)
-        for suffix, name, color, marker, ls in ARMS:
-            arm = suffix.format(t=tag)
-            d = pts(tag, arm)
+        for suffixes, name, color, marker, ls in ARMS:
+            d = best_pts(tag, suffixes)
             if d is None:
                 continue
             ax.semilogy(d[0], d[1], ls, color=color, lw=2, marker=marker,
