@@ -258,6 +258,9 @@ def _mk_setup(tag):
             # ladder; "wrcq-<tag>-q4" = trained on the 4-pair ladder
             # (checkpoint orcq_<tag>_q4, written by train --ladder q4)
             from ldpc_tpu.utils.checkpoint import load_checkpoint
+            per_layer = arm.endswith("pl")
+            if per_layer:
+                arm = arm[:-2]
             if arm.endswith("-q4"):
                 p = _q4_ladder(tag)
                 ck = f"{CK_DIR}/orcq_{tag}_q4"
@@ -269,12 +272,15 @@ def _mk_setup(tag):
             else:
                 p = _best_ladder(tag)
                 ck = f"{CK_DIR}/orcq_{tag}"
+            if per_layer:
+                ck += "pl"
             qp = tuple(tuple(x) for x in p["cn"])
             vqp = tuple(tuple(x) for x in p["v2c"])
             dec = ldpc_tpu.make_decoder(
                 code, kind="orcq", bc=BC, bv=BV, quantizer_params=qp,
                 v2c_quantizer_params=vqp, max_iterations=T, qc=qc,
-                layered=True, sharing_type=2, qc_options=dict(fused))
+                layered=True, sharing_type=2, per_layer=per_layer,
+                qc_options=dict(fused))
             dec.weights = {k: jnp.asarray(v)
                            for k, v in load_checkpoint(ck).items()}
             return dec
@@ -289,7 +295,7 @@ def _mk_setup(tag):
 
 
 def train(tag: str, epochs: int = 30, ladder: str = "best",
-          verbose: bool = True):
+          per_layer: bool = False, verbose: bool = True):
     """TPU phase: rate-specific W-OMS-RCQ on the rate's designed ladder
     (the paper's rate-specific trained decoder; guide rule says run this
     only where the designed arm still trails the anchor).
@@ -329,13 +335,15 @@ def train(tag: str, epochs: int = 30, ladder: str = "best",
     fused = dict(fused=True, batch_tile=None, dtype=jnp.bfloat16)
     if jax.default_backend() == "cpu":
         fused = dict(fused, interpret=True, dtype=jnp.float32)
+    if per_layer:
+        ck_name += "pl"
     code = ldpc_tpu.create_qc_code(base, lift=lift, max_iterations=T)
     dec = ldpc_tpu.make_decoder(
         code, kind="orcq", bc=BC, bv=BV,
         quantizer_params=tuple(tuple(x) for x in p["cn"]),
         v2c_quantizer_params=tuple(tuple(x) for x in p["v2c"]),
         max_iterations=T, qc=build_qc_graph(base, lift), layered=True,
-        sharing_type=2, qc_options=dict(fused))
+        sharing_type=2, per_layer=per_layer, qc_options=dict(fused))
     steps = epochs * (2048 // 128)
     tr = PosteriorJointTrainer(dec, TrainingConfig(
         batch_size=128, num_epochs=epochs, learning_rate=2e-3,
@@ -480,6 +488,9 @@ if __name__ == "__main__":
     ap.add_argument("--snr-start", type=float, default=None)
     ap.add_argument("--ladder", choices=["best", "q4", "pol3"],
                     default="best")
+    ap.add_argument("--per-layer", action="store_true",
+                    help="per-layer weight buckets (checkpoint *pl; "
+                         "deep arm suffix ...pl)")
     args = ap.parse_args()
 
     if args.phase != "design":
@@ -500,7 +511,7 @@ if __name__ == "__main__":
             polish(tag)
     elif args.phase == "train":
         for tag in args.rates:
-            train(tag, ladder=args.ladder)
+            train(tag, ladder=args.ladder, per_layer=args.per_layer)
     elif args.phase == "deep":
         for tag in args.rates:
             deep(tag, tuple(args.arms), snr_start=args.snr_start,
