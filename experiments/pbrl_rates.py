@@ -243,8 +243,9 @@ def _mk_setup(tag):
                 p = json.load(f)
             qp = tuple(tuple(x) for x in p["cn"])
             vqp = tuple(tuple(x) for x in p["v2c"])
-        elif arm == "rcq-q4":              # 4-pair ladder (§VI rule)
-            with open(f"experiments/pbrl_rates_design_{tag}_q4.json") as f:
+        elif arm in ("rcq-q4", "rcq-q5"):  # 4/5-pair ladder (§VI rule)
+            with open(f"experiments/pbrl_rates_design_{tag}"
+                      f"_{arm[4:]}.json") as f:
                 p = json.load(f)
             qp = tuple(tuple(x) for x in p["cn"])
             vqp = tuple(tuple(x) for x in p["v2c"])
