@@ -49,10 +49,12 @@ def main():
             qc_options=dict(fused=True, batch_tile=bt,
                             dtype=jnp.bfloat16, lean=True, natural=True))
 
+    # two configs only, two waves each: holding every config's LLR
+    # buffers simultaneously is what interleaved A/B costs in HBM —
+    # 3 configs x 3 waves of [B, 9472] f32 RESOURCE_EXHAUSTED the chip
     configs = {
         "ship_b32k_t64": dict(B=32768, bt=64, S=512),
         "b48k_t64": dict(B=49152, bt=64, S=768),
-        "b32k_auto": dict(B=32768, bt=None, S=512),
     }
     snr_db = 7.0
     key = jax.random.PRNGKey(0)
@@ -62,7 +64,7 @@ def main():
         two_ck = ldpc_tpu.make_two_checkpoint_decoder(
             dec, t1=3, survivor_budget=c["S"])
         llrs = [awgn_llr(k, jnp.zeros((c["B"], code.n), jnp.float32),
-                         snr_db) for k in jax.random.split(key, 3)]
+                         snr_db) for k in jax.random.split(key, 2)]
         waves[name] = (two_ck, llrs, c)
 
     # warm every config before ANY timing (interleaved trials after)
