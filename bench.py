@@ -83,20 +83,24 @@ def main():
     llrs = [awgn_llr(k, jnp.zeros((B, code.n), jnp.float32), snr_db)
             for k in jax.random.split(key, 3)]
 
+    # S=128: stage 2's one-hot gather + full-depth decode scale with S;
+    # the round-5 A/B (experiments/bench_ab_s_results.json) measured
+    # 662.7k (S=128) vs 655.9k (S=256) vs 626.4k (S=512) interleaved.
+    # At 7.0 dB the t1=3 survivor count is ~15-20 per 32768 frames
+    # (measured), so 128 keeps ~6x margin; the assert below guards it.
+    S = 128
     two_ck = ldpc_tpu.make_two_checkpoint_decoder(dec, t1=3,
-                                                  survivor_budget=512)
+                                                  survivor_budget=S)
 
     def wave(llr):
         out, n_surv = two_ck(llr)
         return out.bits, n_surv
 
-    # warmup / compile (twice: first sync after a fresh compile can lie on
-    # remote-attached runtimes) + overflow guard: at 7.0 dB the t1=3
-    # survivor count is ~1-4 per 8192 frames (measured), 512 at B=32768
-    # is ~30x margin
+    # warmup / compile (twice: first sync after a fresh compile can lie
+    # on remote-attached runtimes) + overflow guard
     for w in llrs[:2]:
         bits, n_surv = wave(w)
-        assert int(n_surv) <= 512, f"survivor budget overflow: {int(n_surv)}"
+        assert int(n_surv) <= S, f"survivor budget overflow: {int(n_surv)}"
         np.asarray(jnp.sum(bits))
 
     # best of 3 trials: the remote runtime's first post-warmup trial can
